@@ -1,0 +1,28 @@
+"""Test harness: force CPU backend with 8 virtual devices so multi-chip sharding
+paths are exercised without TPU hardware (SURVEY.md §4 'Implication for the TPU
+build'). Must run before jax is imported anywhere."""
+
+import os
+
+# Force-override: the environment pins JAX_PLATFORMS=axon (TPU) and a
+# sitecustomize imports jax at interpreter startup, so the env var is already
+# baked into jax.config by the time this file runs. Unit tests must run on CPU
+# with virtual devices (TPU convs default to bf16 on the MXU, which breaks f32
+# golden-parity tolerances), so override via jax.config before any backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
