@@ -1,0 +1,272 @@
+"""Cross-camera feature matching + aligned attention (the RAP front-end), NHWC.
+
+Reference: /root/reference/models/archs/RefVSR_/attention.py (FeatureMatching,
+AlignedAttention) and alignment.py (AlignedConv2d). TPU-first redesign notes:
+
+  * The dense HrWr x HW cosine-similarity matrix (attention.py:91) is never
+    materialized. We run a `lax.scan` over reference-patch tiles with a running
+    (max, argmax) carry — each tile is an MXU matmul [tile, D] @ [D, L_lr].
+    At 270p eval the torch version materializes a ~17 GB f32 matrix; the tiled
+    version is O(tile * L_lr).
+  * Every fold in RefVSR has kernel == stride (see ops/patches.py docstring),
+    so reassembly is a reshape, not scatter-add.
+  * AlignedConv2d's per-pixel affine patch sampling is expressed as one fused
+    gather over the reflection-padded canvas.
+
+Reference-quirk faithfully kept: AlignedConv2d._set_lr (alignment.py:33-36)
+*intends* to scale gradients by 0.1 but the hook builds generator expressions it
+never consumes and returns None — a no-op in torch. We therefore do NOT scale
+gradients either."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from refvsr_tpu.models.blocks import BasicBlock, Conv2d, ResBlock, vgg_normalize, lrelu
+from refvsr_tpu.models.vgg import VGGFeatures
+from refvsr_tpu.ops.patches import extract_patches, fold_non_overlapping, gather_patches
+from refvsr_tpu.ops.resize import resize, avg_pool_2x2
+
+
+def _l2_normalize(x, axis, eps=1e-12):
+    """torch F.normalize: x / max(||x||, eps)."""
+    n = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def tiled_argmax_matmul(ref_p, lr_p, tile: int = 4096):
+    """max/argmax over ref patches of (ref_p @ lr_p^T) without materializing it.
+
+    ref_p: (N, L_ref, D) L2-normalized; lr_p: (N, L_lr, D) L2-normalized.
+    Returns (conf (N, L_lr), index (N, L_lr) int32). First-occurrence argmax
+    (strict > update), matching torch.max tie behavior on CPU."""
+    n, l_ref, d = ref_p.shape
+    l_lr = lr_p.shape[1]
+    tile = min(tile, l_ref)
+    num_tiles = -(-l_ref // tile)
+    pad = num_tiles * tile - l_ref
+    if pad:
+        ref_p = jnp.concatenate(
+            [ref_p, jnp.full((n, pad, d), 0.0, ref_p.dtype)], axis=1)
+    ref_tiles = ref_p.reshape(n, num_tiles, tile, d).transpose(1, 0, 2, 3)
+    # validity mask for padded rows (sim of a zero row is 0 which could beat
+    # negative true sims — force padded rows to -inf)
+    row_ids = np.arange(num_tiles * tile).reshape(num_tiles, tile)
+    valid = jnp.asarray(row_ids < l_ref)
+
+    def step(carry, inputs):
+        best_val, best_idx = carry
+        tile_rows, tile_valid, offset = inputs
+        sim = jnp.einsum("nrd,nld->nrl", tile_rows, lr_p,
+                         preferred_element_type=jnp.float32)
+        sim = jnp.where(tile_valid[None, :, None], sim, -jnp.inf)
+        tile_max = jnp.max(sim, axis=1)
+        tile_arg = jnp.argmax(sim, axis=1).astype(jnp.int32) + offset
+        upd = tile_max > best_val
+        return (jnp.where(upd, tile_max, best_val),
+                jnp.where(upd, tile_arg, best_idx)), None
+
+    init = (jnp.full((n, l_lr), -jnp.inf, jnp.float32),
+            jnp.zeros((n, l_lr), jnp.int32))
+    offsets = jnp.arange(num_tiles, dtype=jnp.int32) * tile
+    (conf, idx), _ = jax.lax.scan(step, init, (ref_tiles, valid, offsets))
+    return conf.astype(lr_p.dtype), idx
+
+
+class FeatureMatching(nn.Module):
+    """VGG-prefix cosine patch matching -> (confidence map, hard index map).
+
+    attention.py:14-100. scale==4 uses vgg19 features[:4] (64ch tap), scale==2
+    or HD-in uses features[:7] (128ch tap); 1x1 'match0' conv to 16ch."""
+    scale: int = 4
+    flag_HD_in: bool = False
+    ksize: int = 3
+    stride: int = 1
+
+    @property
+    def vgg_range(self):
+        if self.flag_HD_in:
+            return 7
+        return 4 if self.scale == 4 else 7
+
+    def setup(self):
+        self.feature_extract = VGGFeatures(max_index=self.vgg_range,
+                                           name="feature_extract")
+        self.match0 = BasicBlock(16, kernel_size=1, act_slope=0.2, name="match0")
+
+    def _feat(self, img):
+        f, _ = self.feature_extract(img)
+        return self.match0(f)
+
+    def __call__(self, lr, ref, ref_downsample: bool = True):
+        """lr: (N,h,w,3); ref: (N,hr,wr,3). Returns conf (N,h,w,1), index (N,h*w)."""
+        h, w = lr.shape[1], lr.shape[2]
+        lr = vgg_normalize(lr)
+        ref = vgg_normalize(ref)
+        if self.flag_HD_in:
+            sf = 1.0 / (self.scale // 2)
+            lr = resize(lr, scale_factor=sf, mode="nearest")
+            ref = resize(ref, scale_factor=sf, mode="nearest")
+
+        lr_f = self._feat(lr)
+        lr_p = extract_patches(lr_f, self.ksize, self.stride, padding="same")
+
+        ref_down = avg_pool_2x2(ref) if ref_downsample else ref
+        ref_f = self._feat(ref_down)
+        ref_p = extract_patches(ref_f, self.ksize, self.stride, padding="same")
+
+        ref_p = _l2_normalize(ref_p, axis=2)
+        lr_p = _l2_normalize(lr_p, axis=2)
+        conf, index = tiled_argmax_matmul(ref_p, lr_p)
+
+        h_c, w_c = lr_f.shape[1], lr_f.shape[2]
+        conf = conf.reshape(-1, h_c, w_c, 1)
+        if h != h_c:
+            conf = resize(conf, scale_factor=h / h_c, mode="bicubic",
+                          align_corners=False)
+            conf = jnp.clip(conf, 0.0, 1.0)
+        return conf, index
+
+
+class AlignedConv2d(nn.Module):
+    """Per-pixel affine (scale_x, scale_y, rotation<=±60°) patch resampler
+    (alignment.py:10-178). modulation is False in all reference configs."""
+    kernel_size: int
+    stride: int
+    padding: int = 1
+
+    def setup(self):
+        # head: conv5x5(3->32), lrelu, ResBlock(32), lrelu     (alignment.py:18)
+        self.conv1_0 = Conv2d(32, kernel_size=5, name="conv1_0")
+        self.conv1_res = ResBlock(32, name="conv1_res")
+        # head2: conv5x5(64->32, stride), lrelu, ResBlock, lrelu, conv1x1(32->3)
+        self.p_conv_0 = Conv2d(32, kernel_size=5, stride=self.stride,
+                               name="p_conv_0")
+        self.p_conv_res = ResBlock(32, name="p_conv_res")
+        self.p_conv_out = Conv2d(3, kernel_size=1, name="p_conv_out")
+
+    def _head(self, img):
+        x = lrelu(self.conv1_0(img), 0.2)
+        x = lrelu(self.conv1_res(x), 0.2)
+        return x
+
+    def __call__(self, x, query, ref):
+        """x: warped canvas (N, Hx, Wx, C); query: lr (N, Hx/2, Wx/2, 3);
+        ref: warped ref image (N, Hx, Wx, 3). Returns (N, h*ks, w*ks, C) where
+        (h, w) is the stride-decimated grid (== Hx/stride)."""
+        ks = self.kernel_size
+        ntaps = ks * ks
+
+        query = resize(query, scale_factor=2, mode="bicubic", align_corners=False)
+        q = self._head(query)
+        r = self._head(ref)
+
+        a = jnp.concatenate([r, q], axis=-1)
+        a = lrelu(self.p_conv_0(a), 0.2)
+        a = lrelu(self.p_conv_res(a), 0.2)
+        affine = self.p_conv_out(a) + 1.0          # (N, h, w, 3)
+        affine = jnp.clip(affine, -3.0, 3.0)
+
+        n, h, w, _ = affine.shape
+        # constant tap offsets (alignment.py:102-107): rows/cols at ±(j+0.5)
+        half = (ks - 1) // 2
+        taps_1d = np.arange(-half - 0.5, half + 0.6, 1.0)
+        pn_row, pn_col = np.meshgrid(taps_1d, taps_1d, indexing="ij")
+        pn_row = jnp.asarray(pn_row.reshape(-1), affine.dtype)   # (ntaps,)
+        pn_col = jnp.asarray(pn_col.reshape(-1), affine.dtype)
+        # anchors (alignment.py:109-117): 1 + i*stride
+        p0_row = jnp.asarray(
+            1.0 + np.arange(h) * self.stride, affine.dtype)[None, :, None, None]
+        p0_col = jnp.asarray(
+            1.0 + np.arange(w) * self.stride, affine.dtype)[None, None, :, None]
+
+        s_row = affine[..., 0:1]
+        s_col = affine[..., 1:2]
+        theta = (affine[..., 2:3] - 1.0) * 1.0472
+        cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+        rx = pn_row[None, None, None, :] * s_row    # (N, h, w, ntaps)
+        ry = pn_col[None, None, None, :] * s_col
+        # p @ [[cos, sin], [-sin, cos]]  (alignment.py:141-144)
+        rot_row = rx * cos_t - ry * sin_t
+        rot_col = rx * sin_t + ry * cos_t
+        center = half + 0.5
+        p_row = rot_row + center + p0_row           # (N, h, w, ntaps)
+        p_col = rot_col + center + p0_col
+
+        # reflection pad the canvas (alignment.py:16,53-54)
+        pad = self.padding
+        xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
+        hp, wp = xp.shape[1], xp.shape[2]
+
+        lt_row = jnp.floor(p_row)
+        lt_col = jnp.floor(p_col)
+        rb_row, rb_col = lt_row + 1, lt_col + 1
+        lt_row_c = jnp.clip(lt_row, 0, hp - 1)
+        lt_col_c = jnp.clip(lt_col, 0, wp - 1)
+        rb_row_c = jnp.clip(rb_row, 0, hp - 1)
+        rb_col_c = jnp.clip(rb_col, 0, wp - 1)
+        p_row_c = jnp.clip(p_row, 0, hp - 1)
+        p_col_c = jnp.clip(p_col, 0, wp - 1)
+
+        # bilinear weights with *clamped* corners and coords (alignment.py:74-77)
+        g_lt = (1 + (lt_row_c - p_row_c)) * (1 + (lt_col_c - p_col_c))
+        g_rb = (1 - (rb_row_c - p_row_c)) * (1 - (rb_col_c - p_col_c))
+        g_lb = (1 + (lt_row_c - p_row_c)) * (1 - (rb_col_c - p_col_c))
+        g_rt = (1 - (rb_row_c - p_row_c)) * (1 + (lt_col_c - p_col_c))
+
+        flat = xp.reshape(n, hp * wp, -1)
+        c = flat.shape[-1]
+
+        def gather(row, col):
+            idx = (row * wp + col).astype(jnp.int32).reshape(n, -1, 1)
+            return jnp.take_along_axis(flat, idx, axis=1).reshape(
+                n, h, w, ntaps, c)
+
+        out = (gather(lt_row_c, lt_col_c) * g_lt[..., None]
+               + gather(rb_row_c, rb_col_c) * g_rb[..., None]
+               + gather(lt_row_c, rb_col_c) * g_lb[..., None]
+               + gather(rb_row_c, lt_col_c) * g_rt[..., None])
+
+        # (N, h, w, ks, ks, C) -> (N, h*ks, w*ks, C)  (alignment.py:172-178)
+        out = out.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)
+        return out.reshape(n, h * ks, w * ks, c)
+
+
+class AlignedAttention(nn.Module):
+    """Index-map driven patch warp + optional affine alignment
+    (attention.py:102-159). kernel == stride == scale in every RefVSR use, so
+    the fold is a pure reshape."""
+    scale: int
+    align: bool
+    k_vsize: int = 1
+    stride: int = 1
+
+    def setup(self):
+        if self.align:
+            self.align_conv = AlignedConv2d(
+                kernel_size=self.scale * self.k_vsize,
+                stride=self.scale, name="align")
+
+    def __call__(self, lr, ref, index_map, value, return_fm: bool = False):
+        """lr: (N,h,w,3) output-defining grid; ref: image for affine estimation;
+        value: features/image to warp. Output spatial size = (2h, 2w)."""
+        h, w = lr.shape[1], lr.shape[2]
+        kernel = self.scale * self.k_vsize
+        s = self.stride * self.scale
+
+        unfolded = extract_patches(value, kernel, s, padding="same")
+        warped = gather_patches(unfolded, index_map)
+        c = value.shape[-1]
+        warped_features = fold_non_overlapping(warped, (h * 2, w * 2), kernel, c)
+
+        if return_fm or not self.align:
+            return warped_features
+
+        unfolded_ref = extract_patches(ref, kernel, s, padding="same")
+        warped_ref = gather_patches(unfolded_ref, index_map)
+        warped_ref = fold_non_overlapping(warped_ref, (h * 2, w * 2), kernel,
+                                          ref.shape[-1])
+        return self.align_conv(warped_features, lr, warped_ref)

@@ -1,0 +1,404 @@
+"""RefVSR core network — TPU-native (flax + lax.scan), NHWC.
+
+Reference: /root/reference/models/archs/RefVSR.py:14-360. Key redesigns vs the
+torch original (behavior preserved, implementation TPU-first):
+
+  * The module-attribute recurrent cache (forward_*_prev, RefVSR.py:96-99,279-283)
+    becomes an explicit `StreamState` pytree threaded through calls — jit-safe,
+    shardable, checkpointable.
+  * The per-frame Python loops over SPyNet / feature matching (RefVSR.py:179-204)
+    are batched over time (one big MXU batch instead of t small launches).
+  * The backward/forward propagation loops (RefVSR.py:214-283) are `nn.scan`s
+    with broadcast parameters — one compiled step regardless of window length.
+  * Three entry points = three static graphs (no retraces):
+      - forward_train:  full window, gradients, state saved at step 0
+      - forward_first:  full window, state saved at the center step
+      - forward_stream: center-frame-only fast path (RefVSR.py:173-176,246-247)
+
+  Reference quirk kept bit-for-bit: the *intra-window* forward branch warps the
+  low-res `feat_prop` onto the 2x grid for feat_prop_UP (RefVSR.py:254 uses
+  `feat_prop`, unlike the backward branch's line 220 which warps feat_prop_UP);
+  the cross-window continue path warps the saved UP tensor (RefVSR.py:259).
+
+Branch reset (`reset_branch`, RefVSR.py:167-170,291-295) is host-side policy and
+lives in the streaming runner (refvsr_tpu/eval/stream.py), not in the jitted
+graph."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from refvsr_tpu.models.blocks import (
+    BasicBlock, Conv2d, PixelShufflePack, ResidualBlocksWithInputConv, ResList,
+    lrelu)
+from refvsr_tpu.models.matching import AlignedAttention, FeatureMatching
+from refvsr_tpu.models.spynet import SPyNet
+from refvsr_tpu.ops.resize import resize
+from refvsr_tpu.ops.warp import warp
+
+
+@flax.struct.dataclass
+class StreamState:
+    """Cross-window recurrent state (replaces RefVSR.py:96-99 module attrs)."""
+    feat_prop: jnp.ndarray       # (N, h, w, C)
+    feat_prop_up: jnp.ndarray    # (N, 2h, 2w, C)
+    conf_prop: jnp.ndarray       # (N, h, w, 1)
+    flow: jnp.ndarray            # (N, h, w, 2)
+
+
+def init_stream_state(n: int, h: int, w: int, mid_channels: int,
+                      dtype=jnp.float32) -> StreamState:
+    return StreamState(
+        feat_prop=jnp.zeros((n, h, w, mid_channels), dtype),
+        feat_prop_up=jnp.zeros((n, 2 * h, 2 * w, mid_channels), dtype),
+        conf_prop=jnp.zeros((n, h, w, 1), dtype),
+        flow=jnp.zeros((n, h, w, 2), dtype),
+    )
+
+
+def _up2(x):
+    return resize(x, scale_factor=2, mode="bicubic", align_corners=False)
+
+
+def _up2_clamp(x):
+    return jnp.clip(_up2(x), 0.0, 1.0)
+
+
+def _flow_up2(flow):
+    """2x-upscale a flow field for warping UP features (RefVSR.py:220,254)."""
+    return resize(flow, scale_factor=2, mode="bilinear", align_corners=True) * 2.0
+
+
+class RefVSRNet(nn.Module):
+    """The 'RefVSR' architecture ('Ours' family). config_RefVSR_MFID.py:41-47."""
+    scale: int = 4
+    num_blocks: int = 30
+    mid_channels: int = 48
+    matching_ksize: int = 2
+    flag_HD_in: bool = False
+    zero_flow: bool = False  # EVAL.is_gradio path (RefVSR.py:183-191)
+
+    def setup(self):
+        mid = self.mid_channels
+        self.flow_net = SPyNet(name="FlowNet")
+        self.feature_match = FeatureMatching(
+            scale=self.scale, flag_HD_in=self.flag_HD_in, name="feature_match")
+        aa1_scale = self.matching_ksize // 2
+        self.aa1 = AlignedAttention(scale=aa1_scale, align=aa1_scale > 1,
+                                    name="aa1")
+        self.aa2 = AlignedAttention(scale=self.matching_ksize, align=True,
+                                    name="aa2")
+
+        self.ref_encoder1_0 = BasicBlock(mid, 3, name="ref_encoder1_0")
+        self.ref_encoder1_1 = BasicBlock(mid, 3, name="ref_encoder1_1")
+        self.res1 = ResList(4, mid, name="res1")
+        self.ref_encoder2_0 = BasicBlock(mid, 3, stride=2, name="ref_encoder2_0")
+        self.ref_encoder2_1 = BasicBlock(mid, 3, name="ref_encoder2_1")
+        self.res2 = ResList(4, mid, name="res2")
+
+        def fusion_pair(name, feat0=16):
+            # torch names <name>.0/.1; '_seq' avoids clashing with the separate
+            # feat_fusion2_1 module (RefVSR.py:56,72)
+            return (BasicBlock(feat0, 3, name=f"{name}_seq0"),
+                    BasicBlock(mid, 3, name=f"{name}_seq1"))
+
+        self.conf_fusion = fusion_pair("conf_fusion")
+        self.conf_fusion2 = fusion_pair("conf_fusion2")
+        self.conf_fusion_BWFW = fusion_pair("conf_fusion_BWFW")
+        self.feat_fusion = fusion_pair("feat_fusion", feat0=mid)
+        self.feat_fusion2 = fusion_pair("feat_fusion2", feat0=mid)
+        self.feat_fusion_BWFW = fusion_pair("feat_fusion_BWFW", feat0=mid)
+        self.feat_fusion2_1 = BasicBlock(mid, 3, name="feat_fusion2_1")
+
+        self.feat_decoder = ResList(8, mid, name="feat_decoder")
+        self.feat_decoder2 = ResList(4, mid, name="feat_decoder2")
+        self.feat_decoder_BWFW = ResList(4, mid, name="feat_decoder_BWFW")
+
+        self.backward_resblocks = ResidualBlocksWithInputConv(
+            mid, self.num_blocks, name="backward_resblocks")
+        self.forward_resblocks = ResidualBlocksWithInputConv(
+            mid, self.num_blocks, name="forward_resblocks")
+
+        self.fusion_UP = Conv2d(mid, kernel_size=1, name="fusion_UP")
+        self.upsample1 = PixelShufflePack(mid, 2, name="upsample1")
+        if self.scale == 4:
+            self.upsample2 = PixelShufflePack(mid, 2, name="upsample2")
+        self.conv_hr = Conv2d(mid, 3, name="conv_hr")
+        self.conv_last = Conv2d(3, 3, name="conv_last")
+
+    # ---------------- sub-computations ----------------
+
+    def _seq2(self, pair, x):
+        # each BasicBlock applies its own LeakyReLU(0.2)
+        return pair[1](pair[0](x))
+
+    def compute_flows(self, lrs):
+        """lrs: (N, T, H, W, 3) -> (forward_flows, backward_flows) each
+        (N, T-1, H, W, 2). Batched over time (RefVSR.py:179-193 loops)."""
+        n, t, h, w, c = lrs.shape
+        if self.zero_flow:
+            z = jnp.zeros((n, t - 1, h, w, 2), lrs.dtype)
+            return z, z
+        nxt = lrs[:, 1:].reshape(n * (t - 1), h, w, c)
+        prv = lrs[:, :-1].reshape(n * (t - 1), h, w, c)
+        # forward_flows[j] = Flow(ref=lr_{j+1}, supp=lr_j)  (RefVSR.py:184)
+        # backward_flows[j] = Flow(ref=lr_j, supp=lr_{j+1}) (RefVSR.py:189)
+        both = self.flow_net(jnp.concatenate([nxt, prv], 0),
+                             jnp.concatenate([prv, nxt], 0))
+        both = jax.lax.stop_gradient(both)  # SPyNet frozen + no_grad (RefVSR.py:28,179)
+        fwd = both[: n * (t - 1)].reshape(n, t - 1, h, w, 2)
+        bwd = both[n * (t - 1):].reshape(n, t - 1, h, w, 2)
+        return fwd, bwd
+
+    def compute_matching(self, lrs, refs):
+        """Batched per-frame matching (RefVSR.py:196-204).
+        lrs: (N, T, h, w, 3); refs: (N, T, hr, wr, 3).
+        Returns conf (N, T, h, w, 1), index (N, T, h*w) int32."""
+        n, t = lrs.shape[:2]
+        lr_b = lrs.reshape((n * t,) + lrs.shape[2:])
+        ref_b = refs.reshape((n * t,) + refs.shape[2:])
+        conf, index = self.feature_match(lr_b, ref_b)
+        conf = conf.reshape((n, t) + conf.shape[1:])
+        index = index.reshape((n, t) + index.shape[1:])
+        return conf, index
+
+    def encode_refs(self, refs):
+        """ref_feat = res1(enc1(ref)); ref_feat_down = res2(enc2(ref_feat))
+        (RefVSR.py:233-234). refs: (N, T, hr, wr, 3)."""
+        n, t = refs.shape[:2]
+        r = refs.reshape((n * t,) + refs.shape[2:])
+        f = self.res1(self.ref_encoder1_1(self.ref_encoder1_0(r)))
+        fd = self.res2(self.ref_encoder2_1(self.ref_encoder2_0(f)))
+        f = f.reshape((n, t) + f.shape[1:])
+        fd = fd.reshape((n, t) + fd.shape[1:])
+        return f, fd
+
+    def rap(self, lr, ref, conf, conf_prop, index, feat_prop, feat_prop_up,
+            ref_feat_down, ref_feat):
+        """2-level Reference Alignment and Propagation (RefVSR.py:123-149)."""
+        lr_down = jnp.clip(resize(lr, scale_factor=0.5, mode="bicubic",
+                                  align_corners=False), 0.0, 1.0)
+        # level 1
+        ref_feat_aligned = self.aa1(lr_down, ref, index, ref_feat_down)
+        cat_features = jnp.concatenate([feat_prop, ref_feat_aligned], -1)
+        alpha = self._seq2(self.conf_fusion,
+                           jnp.concatenate([conf_prop, conf], -1))
+        feat_prop = feat_prop + alpha * self._seq2(self.feat_fusion, cat_features)
+        feat_prop = self.feat_decoder(feat_prop)
+
+        # level 2
+        ref_feat_aligned_up = self.aa2(lr, ref, index, ref_feat)
+        feat_prop_up = self.feat_fusion2_1(jnp.concatenate(
+            [feat_prop_up, self.upsample1(feat_prop)], -1))
+        cat_features = jnp.concatenate([feat_prop_up, ref_feat_aligned_up], -1)
+        conf_prop_up = _up2_clamp(conf_prop)
+        conf_up = _up2_clamp(conf)
+        alpha = self._seq2(self.conf_fusion2,
+                           jnp.concatenate([conf_prop_up, conf_up], -1))
+        feat_prop_up = feat_prop_up + alpha * self._seq2(self.feat_fusion2,
+                                                         cat_features)
+        feat_prop_up = self.feat_decoder2(feat_prop_up)
+
+        conf_prop = jnp.maximum(conf_prop, conf)
+        return feat_prop, feat_prop_up, conf_prop
+
+    def _prop_step(self, branch: str, warp_up_from_low: bool, carry, x):
+        """One propagation step: warp -> aggregate -> RAP (RefVSR.py:214-276).
+
+        warp_up_from_low=True reproduces the forward branch's intra-window
+        behavior of warping the low-res feat_prop onto the 2x grid
+        (RefVSR.py:254); False warps the UP tensor itself (RefVSR.py:220,259)."""
+        feat_prop, feat_prop_up, conf_prop = carry
+        flow2 = _flow_up2(x["flow"])
+        up_src = feat_prop if warp_up_from_low else feat_prop_up
+        feat_prop = warp(feat_prop, x["flow"])
+        feat_prop_up = warp(up_src, flow2)
+        conf_prop = warp(conf_prop, x["flow"])
+
+        resblocks = (self.backward_resblocks if branch == "backward"
+                     else self.forward_resblocks)
+        feat_prop = resblocks(jnp.concatenate([x["lr"], feat_prop], -1))
+        feat_prop, feat_prop_up, conf_prop = self.rap(
+            x["lr"], x["ref"], x["conf"], conf_prop, x["index"], feat_prop,
+            feat_prop_up, x["ref_feat_down"], x["ref_feat"])
+        return (feat_prop, feat_prop_up, conf_prop), None
+
+    def _scan_branch(self, branch, warp_up_from_low, carry, xs):
+        def step(mdl, c, x):
+            return mdl._prop_step(branch, warp_up_from_low, c, x)
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False})
+        carry, _ = scan(self, carry, xs)
+        return carry
+
+    def compute_up(self, backward_feat_up, forward_feat_up, conf_bw, conf_fw,
+                   base):
+        """Final fusion + upsampling (RefVSR.py:104-119)."""
+        conf_bw = _up2_clamp(conf_bw)
+        conf_fw = _up2_clamp(conf_fw)
+        cat_features = jnp.concatenate([backward_feat_up, forward_feat_up], -1)
+        out = self.fusion_UP(cat_features)
+        alpha = self._seq2(self.conf_fusion_BWFW,
+                           jnp.concatenate([conf_bw, conf_fw], -1))
+        out = out + alpha * self._seq2(self.feat_fusion_BWFW, cat_features)
+        out = self.feat_decoder_BWFW(out)
+        if self.scale == 4:
+            out = lrelu(self.upsample2(out), 0.1)
+        out = lrelu(self.conv_hr(out), 0.1)
+        return self.conv_last(out) + base
+
+    # ---------------- entry points ----------------
+
+    def _backward_branch(self, lrs, refs, backward_flows, confs, indices,
+                         ref_feats, ref_feats_down, frame_offset: int):
+        """Full backward branch over frames t-1 .. t//2 (RefVSR.py:210-238).
+
+        All per-frame arrays here are indexed relative to `frame_offset` (the
+        absolute index of their first entry) so the stream path can pass only
+        the frames it computed."""
+        n, t = lrs.shape[:2]
+        h, w = lrs.shape[2], lrs.shape[3]
+        center = t // 2
+        mid = self.mid_channels
+        dt = lrs.dtype
+
+        # frames t-1 down to center; step j=0 (frame t-1) gets a dummy zero flow
+        # (warping the all-zero init is zeros regardless).
+        frames = list(range(t - 1, center - 1, -1))
+        rel = [i - frame_offset for i in frames]
+        zero_flow = jnp.zeros((n, 1, h, w, 2), dt)
+        # frame i (i < t-1) warps with backward_flows[:, i] (RefVSR.py:217)
+        flows = jnp.concatenate(
+            [zero_flow, jnp.stack([backward_flows[:, i] for i in frames[1:]], 1)],
+            axis=1) if len(frames) > 1 else zero_flow
+        xs = {
+            "lr": jnp.stack([lrs[:, i] for i in frames], 0),
+            "ref": jnp.stack([refs[:, i] for i in frames], 0),
+            "conf": jnp.stack([confs[:, i] for i in rel], 0),
+            "index": jnp.stack([indices[:, i] for i in rel], 0),
+            "ref_feat": jnp.stack([ref_feats[:, i] for i in rel], 0),
+            "ref_feat_down": jnp.stack([ref_feats_down[:, i] for i in rel], 0),
+            "flow": flows.transpose(1, 0, 2, 3, 4),
+        }
+        carry = (jnp.zeros((n, h, w, mid), dt),
+                 jnp.zeros((n, 2 * h, 2 * w, mid), dt),
+                 jnp.zeros((n, h, w, 1), dt))
+        return self._scan_branch("backward", False, carry, xs)
+
+    def _forward_step0(self, state: StreamState, lr, ref, conf, index,
+                       ref_feat, ref_feat_down):
+        """Peeled first forward step: warps the carried-in StreamState with its
+        saved flow (RefVSR.py:256-260; zeros state for a first frame)."""
+        carry = (state.feat_prop, state.feat_prop_up, state.conf_prop)
+        x = {"lr": lr, "ref": ref, "conf": conf, "index": index,
+             "ref_feat": ref_feat, "ref_feat_down": ref_feat_down,
+             "flow": state.flow}
+        carry, _ = self._prop_step("forward", False, carry, x)
+        return carry
+
+    def _forward_branch_full(self, state, lrs, refs, forward_flows, confs,
+                             indices, ref_feats, ref_feats_down):
+        """Forward branch over frames 0..t//2 (training / first frame)."""
+        t = lrs.shape[1]
+        center = t // 2
+        carry0 = self._forward_step0(
+            state, lrs[:, 0], refs[:, 0], confs[:, 0], indices[:, 0],
+            ref_feats[:, 0], ref_feats_down[:, 0])
+        if center == 0:
+            return carry0, carry0
+        xs = {
+            "lr": lrs[:, 1:center + 1].transpose(1, 0, 2, 3, 4),
+            "ref": refs[:, 1:center + 1].transpose(1, 0, 2, 3, 4),
+            "conf": confs[:, 1:center + 1].transpose(1, 0, 2, 3, 4),
+            "index": indices[:, 1:center + 1].transpose(1, 0, 2),
+            "ref_feat": ref_feats[:, 1:center + 1].transpose(1, 0, 2, 3, 4),
+            "ref_feat_down":
+                ref_feats_down[:, 1:center + 1].transpose(1, 0, 2, 3, 4),
+            # frame i warps with forward_flows[:, i-1] (RefVSR.py:252)
+            "flow": forward_flows[:, 0:center].transpose(1, 0, 2, 3, 4),
+        }
+        carry = self._scan_branch("forward", True, carry0, xs)
+        return carry, carry0
+
+    def _finalize(self, lr_center, bw_carry, fw_carry):
+        _, backward_feat_up, conf_bw = bw_carry
+        _, forward_feat_up, conf_fw = fw_carry
+        base = jnp.clip(resize(lr_center, scale_factor=self.scale,
+                               mode="bicubic", align_corners=False), 0.0, 1.0)
+        return self.compute_up(backward_feat_up, forward_feat_up, conf_bw,
+                               conf_fw, base)
+
+    def forward_train(self, lrs, refs, state: StreamState):
+        """Training window forward: full branches, state saved at forward step 0
+        (RefVSR.py:279-283 with is_train=True). Returns (out, new_state)."""
+        n, t = lrs.shape[:2]
+        fwd_flows, bwd_flows = self.compute_flows(lrs)
+        confs, indices = self.compute_matching(lrs, refs)
+        ref_feats, ref_feats_down = self.encode_refs(refs)
+
+        bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
+                                         ref_feats, ref_feats_down, 0)
+        fw_carry, fw_carry0 = self._forward_branch_full(
+            state, lrs, refs, fwd_flows, confs, indices, ref_feats,
+            ref_feats_down)
+        out = self._finalize(lrs[:, t // 2], bw_carry, fw_carry)
+        new_state = StreamState(
+            feat_prop=jax.lax.stop_gradient(fw_carry0[0]),
+            feat_prop_up=jax.lax.stop_gradient(fw_carry0[1]),
+            conf_prop=jax.lax.stop_gradient(fw_carry0[2]),
+            flow=jax.lax.stop_gradient(fwd_flows[:, 0]))
+        return out, new_state
+
+    def forward_first(self, lrs, refs):
+        """Eval first-frame window: full branches, state saved at the center step
+        (RefVSR.py:279-283 with is_train=False). Output clamped to [0,1]."""
+        n, t = lrs.shape[:2]
+        h, w = lrs.shape[2], lrs.shape[3]
+        state = init_stream_state(n, h, w, self.mid_channels, lrs.dtype)
+        fwd_flows, bwd_flows = self.compute_flows(lrs)
+        confs, indices = self.compute_matching(lrs, refs)
+        ref_feats, ref_feats_down = self.encode_refs(refs)
+
+        bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
+                                         ref_feats, ref_feats_down, 0)
+        fw_carry, _ = self._forward_branch_full(
+            state, lrs, refs, fwd_flows, confs, indices, ref_feats,
+            ref_feats_down)
+        out = jnp.clip(self._finalize(lrs[:, t // 2], bw_carry, fw_carry), 0, 1)
+        new_state = StreamState(
+            feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
+            conf_prop=fw_carry[2], flow=fwd_flows[:, t // 2])
+        return out, new_state, (bw_carry[2], fw_carry[2], confs[:, t // 2])
+
+    def forward_stream(self, lrs, refs, state: StreamState):
+        """Eval streaming window: full backward branch, forward branch computes
+        ONLY the center frame from the carried state (RefVSR.py:173-176,246-247).
+        Matching/encoding run only for frames center..t-1."""
+        n, t = lrs.shape[:2]
+        center = t // 2
+        fwd_flows, bwd_flows = self.compute_flows(lrs)
+        # only frames >= center are matched/encoded (RefVSR.py:198-202)
+        tail_lrs = lrs[:, center:]
+        tail_refs = refs[:, center:]
+        confs, indices = self.compute_matching(tail_lrs, tail_refs)
+        ref_feats, ref_feats_down = self.encode_refs(tail_refs)
+
+        bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
+                                         ref_feats, ref_feats_down, center)
+        fw_carry = self._forward_step0(
+            state, lrs[:, center], refs[:, center], confs[:, 0], indices[:, 0],
+            ref_feats[:, 0], ref_feats_down[:, 0])
+        out = jnp.clip(self._finalize(lrs[:, center], bw_carry, fw_carry), 0, 1)
+        new_state = StreamState(
+            feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
+            conf_prop=fw_carry[2], flow=fwd_flows[:, center])
+        return out, new_state, (bw_carry[2], fw_carry[2], confs[:, 0])
+
+    def __call__(self, lrs, refs, state: StreamState):
+        """Default entry = training forward (used for init/jit checks)."""
+        return self.forward_train(lrs, refs, state)
