@@ -1,0 +1,286 @@
+"""Evaluation suite: qual/quan, FOV-masked, confidence-map dumps.
+
+Reference: /root/reference/evaluation/{init,eval_qual_quan,eval_quan_FOV,
+eval_quan_conf_map}.py. Score-file line formats and aggregation (per-frame ->
+per-video mean -> over-videos mean) are preserved so downstream tooling that
+parses score_*.txt keeps working."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from refvsr_tpu.configs import Config
+from refvsr_tpu.data.datasets import TestDataset, collate
+from refvsr_tpu.data.np_ops import np_resize
+from refvsr_tpu.eval.metrics import psnr, psnr_masked, ssim, ssim_masked
+from refvsr_tpu.eval.stream import StreamRunner
+from refvsr_tpu.train.ckpt import CkptManager
+from refvsr_tpu.train.trainer import Trainer
+
+
+def _save_img(path, arr01):
+    Path(os.path.dirname(path)).mkdir(parents=True, exist_ok=True)
+    Image.fromarray(
+        (np.clip(arr01, 0, 1) * 255).round().astype(np.uint8)).save(path)
+
+
+def init_eval(config: Config):
+    """Build trainer + load checkpoint + output dirs (evaluation/init.py:9-34)."""
+    trainer = Trainer(config)
+    ds = TestDataset(config, is_valid=False)
+    sample = None
+    for i in range(len(ds)):
+        s = ds[i]
+        if "is_continue" not in s:
+            sample = s
+            break
+    assert sample is not None, "empty eval dataset"
+    batch = collate([sample])
+    ts, loss_params = trainer.init_state({
+        "LR_UW": batch["LR_UW"], "LR_REF_W": batch["LR_REF_W"],
+        "HR_UW": batch["HR_UW"], "HR_REF_W": batch["HR_REF_W"],
+        "HR_REF_T": batch["HR_REF_T"]})
+    params = ts.params
+
+    ckpt_name = "random_init"
+    ev = config.EVAL
+    if ev.ckpt_abs_name or ev.ckpt_name or ev.ckpt_epoch is not None or \
+            os.path.exists(os.path.join(config.ckpt_dir, "..",
+                                        "checkpoints.txt")):
+        cm = CkptManager(os.path.join(config.log_dir, "checkpoint", "train",
+                                      "epoch"), config.mode,
+                         max_files_to_keep=config.max_ckpt_num)
+        try:
+            params, ckpt_name = cm.load_params(
+                params, by_score=ev.load_ckpt_by_score, name=ev.ckpt_name,
+                abs_path=ev.ckpt_abs_name, epoch=ev.ckpt_epoch)
+        except FileNotFoundError:
+            pass
+
+    date = datetime.datetime.now().strftime("%Y_%m_%d_%H%M")
+    save_root = os.path.join(config.result_dir, config.EVAL.data,
+                             f"{date}_{ckpt_name}")
+    score_root = save_root
+    Path(save_root).mkdir(parents=True, exist_ok=True)
+
+    ef, es = trainer.eval_fns
+    runner = StreamRunner(trainer.net, params, config.reset_branch, ef, es,
+                          compute_dtype=trainer.compute_dtype)
+    return trainer, ds, runner, save_root, score_root, ckpt_name
+
+
+def _score_path(score_root, config):
+    return os.path.join(
+        score_root,
+        f"score_{config.EVAL.data}_{config.EVAL.eval_mode}.txt")
+
+
+def eval_qual_quan(config: Config):
+    """PSNR/SSIM streaming eval + image dumps (eval_qual_quan.py:17-144)."""
+    trainer, ds, runner, save_root, score_root, ckpt_name = init_eval(config)
+    t = config.frame_num
+
+    total_norm = 0
+    psnr_total = ssim_total = time_total = 0.0
+    psnr_v = ssim_v = time_v = 0.0
+    frame_len_prev = 0
+    first_write = True
+    results_summary = {}
+
+    for i in range(len(ds)):
+        item = ds[i]
+        if item.get("is_continue"):
+            frame_len_prev += 1
+            continue
+        is_first = item["is_first"]
+
+        if is_first and i > 0 and frame_len_prev:
+            psnr_total += psnr_v
+            ssim_total += ssim_v
+            time_total += time_v
+            line = (f"[MEAN EVAL {config.mode}|{config.EVAL.data}|"
+                    f"{item['video_name']}] PSNR: {psnr_v / frame_len_prev:.5f}"
+                    f" SSIM: {ssim_v / frame_len_prev:.5f}"
+                    f" ({time_v / frame_len_prev:.5f}sec)\n\n")
+            print(line, end="")
+            if not config.EVAL.qualitative_only:
+                with open(_score_path(score_root, config), "a") as f:
+                    f.write(line)
+            psnr_v = ssim_v = time_v = 0.0
+
+        lrs = item["LR_UW"][None, :t]
+        refs = item["LR_REF_W"][None, :t]
+        t0 = time.time()
+        sr, _ = runner.process(lrs, refs, is_first)
+        itr_time = time.time() - t0
+
+        out = sr[0]
+        gt = item["HR_UW"][t // 2]
+        frame_psnr = frame_ssim = 0.0
+        if not config.EVAL.qualitative_only:
+            if config.flag_HD_in:
+                out_cmp = np.clip(np_resize(out, scale_factor=1 / config.scale,
+                                            mode="bicubic"), 0, 1)
+            else:
+                out_cmp = out
+            frame_psnr = psnr(out_cmp, gt)
+            frame_ssim = ssim(out_cmp, gt)
+
+        psnr_v += frame_psnr
+        ssim_v += frame_ssim
+        time_v += itr_time
+        total_norm += 1
+        frame_len_prev = item["frame_len"]
+
+        line = (f"[EVAL {config.mode}|{config.EVAL.data}|{item['video_name']}]"
+                f"[{item['video_idx'] + 1}/{item['video_len']}]"
+                f"[{item['frame_idx'] + 1}/{item['frame_len']}] "
+                f"{item['frame_name']} PSNR: {frame_psnr:.5f} "
+                f"SSIM: {frame_ssim:.5f} ({itr_time:.5f}sec)")
+        print(line)
+        with open(_score_path(score_root, config),
+                  "w" if first_write else "a") as f:
+            f.write(line + "\n")
+        first_write = False
+
+        if not config.EVAL.quantitative_only:
+            stem = item["frame_name"].split(".")[0]
+            for fmt in ("png", "jpg"):
+                _save_img(os.path.join(save_root, fmt, "input",
+                                       item["video_name"], f"{stem}.{fmt}"),
+                          item["LR_UW"][t // 2])
+                _save_img(os.path.join(save_root, fmt, "output",
+                                       item["video_name"], f"{stem}.{fmt}"),
+                          out)
+
+    if total_norm:
+        psnr_mean = (psnr_total + psnr_v) / total_norm
+        ssim_mean = (ssim_total + ssim_v) / total_norm
+        time_mean = (time_total + time_v) / total_norm
+        line = (f"\n[TOTAL {ckpt_name}|{config.EVAL.data}] "
+                f"PSNR: {psnr_mean:.5f} SSIM: {ssim_mean:.5f} "
+                f"({time_mean:.5f}sec)\n")
+        print(line, end="")
+        if not config.EVAL.qualitative_only:
+            with open(_score_path(score_root, config), "a") as f:
+                f.write(line)
+        results_summary = {"PSNR": psnr_mean, "SSIM": ssim_mean,
+                           "sec_per_frame": time_mean, "frames": total_norm}
+    return results_summary
+
+
+_FOV_KEYS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
+
+
+def eval_quan_FOV(config: Config, max_frames=None):
+    """Masked PSNR/SSIM over center-FOV fractions (eval_quan_FOV.py:17-270).
+    Masks: inside (center crop), outside (complement), ring (inside minus the
+    50% center)."""
+    trainer, ds, runner, save_root, score_root, ckpt_name = init_eval(config)
+    t = config.frame_num
+
+    acc = {m: {k: 0.0 for k in _FOV_KEYS}
+           for m in ("pfi", "pfo", "pfr", "sfi", "sfo", "sfr")}
+    total_norm = 0
+    for i in range(len(ds)):
+        if max_frames is not None and total_norm >= max_frames:
+            break
+        item = ds[i]
+        if item.get("is_continue"):
+            continue
+        sr, _ = runner.process(item["LR_UW"][None, :t],
+                               item["LR_REF_W"][None, :t], item["is_first"])
+        out = sr[0]
+        gt = item["HR_UW"][t // 2]
+        if config.flag_HD_in:
+            out = np.clip(np_resize(out, scale_factor=1 / config.scale,
+                                    mode="bicubic"), 0, 1)
+        h, w, _ = out.shape
+        for key in _FOV_KEYS:
+            if key == 1.0:
+                pfi, sfi = psnr(out, gt), ssim(out, gt)
+                pfo = sfo = 0.0
+                mask_fi = np.ones((h, w, 3))
+            else:
+                cr = int(1 / ((1 - key) / 2))
+                mask_fi = np.zeros((h, w, 3))
+                mask_fi[h // cr:h - h // cr, w // cr:w - w // cr] = 1.0
+                pfi = psnr_masked(out, gt, mask_fi)
+                sfi = ssim_masked(out, gt, mask_fi)
+                mask_fo = 1.0 - mask_fi
+                pfo = psnr_masked(out, gt, mask_fo)
+                sfo = ssim_masked(out, gt, mask_fo)
+            if key > 0.5:
+                mask_fr = mask_fi.copy()
+                mask_fr[h // 4:h - h // 4, w // 4:w - w // 4] = 0.0
+                pfr = psnr_masked(out, gt, mask_fr)
+                sfr = ssim_masked(out, gt, mask_fr)
+            else:
+                pfr = sfr = 0.0
+            for name, val in (("pfi", pfi), ("pfo", pfo), ("pfr", pfr),
+                              ("sfi", sfi), ("sfo", sfo), ("sfr", sfr)):
+                acc[name][key] += val
+        total_norm += 1
+
+    if total_norm == 0:
+        return {}
+    means = {m: {k: v / total_norm for k, v in d.items()}
+             for m, d in acc.items()}
+    out_str = f"\n[TOTAL {ckpt_name}|{config.EVAL.data}]\n"
+    for label, m in (("PSNR-FOV_in", "pfi"), ("PSNR-FOV_out", "pfo"),
+                     ("PSNR-FOV_ring", "pfr"), ("SSIM-FOV_in", "sfi"),
+                     ("SSIM-FOV_out", "sfo"), ("SSIM-FOV_ring", "sfr")):
+        out_str += f"[{label:<13}] (" + ", ".join(
+            f"{k * 100:3.1f}%: {v:.5f}" for k, v in means[m].items()) + ")\n"
+    print(out_str)
+    with open(_score_path(score_root, config), "a") as f:
+        f.write(out_str)
+    return means
+
+
+def eval_quan_conf_map(config: Config, max_frames=None):
+    """Dump inferno-colormapped confidence maps (eval_quan_conf_map.py:18-182):
+    matching conf, propagated conf (max of bw/fw), bw, fw."""
+    trainer, ds, runner, save_root, score_root, ckpt_name = init_eval(config)
+    t = config.frame_num
+    import matplotlib.cm as cm
+
+    count = 0
+    for i in range(len(ds)):
+        if max_frames is not None and count >= max_frames:
+            break
+        item = ds[i]
+        if item.get("is_continue"):
+            continue
+        sr, conf = runner.process(item["LR_UW"][None, :t],
+                                  item["LR_REF_W"][None, :t], item["is_first"])
+        conf_bw, conf_fw, conf_match = [np.asarray(c[0, ..., 0], np.float32)
+                                        for c in conf]
+        conf_prop = np.maximum(conf_bw, conf_fw)
+        stem = item["frame_name"].split(".")[0]
+        for name, m in (("conf", conf_match), ("conf_prop", conf_prop),
+                        ("conf_prop_bw", conf_bw), ("conf_prop_fw", conf_fw)):
+            colored = cm.inferno(np.clip(m, 0, 1))[..., :3]
+            _save_img(os.path.join(save_root, "conf", item["video_name"],
+                                   f"{stem}_{name}.png"), colored)
+        count += 1
+    return {"frames": count}
+
+
+def evaluate(config: Config):
+    """Dispatch on eval_mode (eval.py:8-21)."""
+    mode = config.EVAL.eval_mode
+    if mode in ("quan_qual", "qual_quan"):
+        return eval_qual_quan(config)
+    if mode == "FOV":
+        return eval_quan_FOV(config)
+    if mode == "conf":
+        return eval_quan_conf_map(config)
+    raise ValueError(f"unknown eval mode {mode!r}")

@@ -1,0 +1,42 @@
+"""Streaming video inference runtime (host-side policy around jitted graphs).
+
+Owns the reference's branch-reset logic (RefVSR.py:100-101,167-170,291-295):
+after `reset_branch` consecutive streamed windows, the recurrence is re-anchored
+by running the full first-frame graph. Two compiled graphs exist per shape
+(first/stream) — static shapes, no retraces (SURVEY.md §7 hard part (d))."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class StreamRunner:
+    def __init__(self, net, params, reset_branch: Optional[int],
+                 eval_first, eval_stream, compute_dtype=jnp.float32):
+        self.net = net
+        self.params = params
+        self.reset_branch = reset_branch
+        self.eval_first = eval_first
+        self.eval_stream = eval_stream
+        self.compute_dtype = compute_dtype
+        self.state = None
+        self.count = 0
+
+    def process(self, lrs: np.ndarray, refs: np.ndarray, is_first: bool):
+        """lrs/refs: (N, T, H, W, 3) float32 numpy. Returns (sr (N,4H,4W,3)
+        numpy, conf_vis tuple). Handles first/reset/stream dispatch."""
+        if self.reset_branch is not None and self.count == self.reset_branch:
+            is_first = True
+        lrs = jnp.asarray(lrs, self.compute_dtype)
+        refs = jnp.asarray(refs, self.compute_dtype)
+        if is_first or self.state is None:
+            out, self.state, conf = self.eval_first(self.params, lrs, refs)
+            self.count = 0
+        else:
+            out, self.state, conf = self.eval_stream(self.params, lrs, refs,
+                                                     self.state)
+        self.count += 1
+        return np.asarray(out, np.float32), conf

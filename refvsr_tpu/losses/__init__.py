@@ -1,0 +1,121 @@
+"""Loss DSL + loss computation (reference: /root/reference/models/loss/Loss.py).
+
+The spec string format is kept verbatim: 'w1*TYPE1+w2*TYPE2', e.g.
+'1*L1_lf+0.05*MFID_ref_X_mu+0.01*FID_hr' (Loss.py:29-69, configs/*.py).
+
+Supported types (all that the 8 shipped configs use, plus the basics):
+  MSE, L1, L1_lf, FID_hr, FID_ref, FID_ref_X_mu, MFID_ref, MFID_ref_X_mu.
+CoBi and L1/L2-distance CX variants exist in the reference but are referenced by
+no shipped config; they raise NotImplementedError here with a pointer.
+
+MFID semantics (Loss.py:114-123): the SR frame is matched against *all* ref
+frames seen so far in the sliding window — sr is broadcast to (b*t) and refs
+flattened to (b*t); the VGG/CX runs as one batch, which also couples the
+channel-mean centering across the whole ref set exactly like the reference."""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from refvsr_tpu.losses.contextual import CXLoss
+from refvsr_tpu.ops.image import gaussian_lowpass
+from refvsr_tpu.ops.resize import resize
+
+_SUPPORTED = {"MSE", "L1", "L1_lf", "FID_hr", "FID_ref", "FID_ref_X_mu",
+              "MFID_ref", "MFID_ref_X_mu"}
+
+
+def parse_loss_spec(spec: str):
+    """'1*L1_lf+0.05*MFID_ref_X_mu' -> [(1.0, 'L1_lf'), (0.05, ...)]."""
+    terms = []
+    for part in spec.split("+"):
+        part = part.strip()
+        if not part:
+            continue
+        weight, ltype = part.split("*")
+        if ltype not in _SUPPORTED:
+            if "CoBi" in ltype or re.search(r"_(L1|L2)$", ltype):
+                raise NotImplementedError(
+                    f"loss type {ltype!r}: CoBi / L1/L2-distance CX variants are "
+                    "defined by the reference but used by no shipped config; "
+                    "see losses/contextual.py to extend.")
+            raise ValueError(f"unknown loss type {ltype!r} in spec {spec!r}")
+        terms.append((float(weight), ltype))
+    return terms
+
+
+def psnr(sr, hr, peak=1.0):
+    """torch-protocol PSNR (Loss.py:73-75): 10*log10(peak / mse)."""
+    mse = jnp.mean((sr - hr) ** 2)
+    return 10.0 * jnp.log10(peak / mse)
+
+
+class LossModule(nn.Module):
+    """Computes the weighted loss dict for one sliding-window step.
+
+    Owns the (frozen, converter-loadable) VGG19s used by the CX terms. Note the
+    network's matching VGG prefix is separate and *trainable*
+    (attention.py:44-45); these loss VGGs are not (vgg.py:29-31)."""
+    spec: str
+    scale: int = 4
+    flag_HD_in: bool = False
+    vgg_layer: str = "relu3_4"
+
+    def setup(self):
+        self.terms = parse_loss_spec(self.spec)
+        cx_mods = {}
+        for _, ltype in self.terms:
+            if "FID" in ltype:
+                cx_mods[ltype] = CXLoss(
+                    vgg_layer=self.vgg_layer,
+                    x_self_mu=ltype.endswith("_X_mu"),
+                    name=f"cx_{ltype}")
+        self.cx_mods = cx_mods
+
+    def __call__(self, sr, hr, refs):
+        """sr: (N, H, W, 3) SR output; hr: (N, H, W, 3) GT center frame;
+        refs: (N, T_ref, hr_h, hr_w, 3) all ref frames seen so far.
+        Returns dict of scalar losses incl. 'total' and (stop-grad) 'PSNR'."""
+        errs = {}
+        total = 0.0
+
+        if self.flag_HD_in and hr.shape != sr.shape:
+            sr_cmp = jnp.clip(resize(sr, scale_factor=1.0 / self.scale,
+                                     mode="bicubic", align_corners=False), 0, 1)
+        else:
+            sr_cmp = sr
+
+        for weight, ltype in self.terms:
+            if ltype == "MSE":
+                loss = jnp.mean((sr_cmp - hr) ** 2)
+            elif ltype == "L1":
+                loss = jnp.mean(jnp.abs(sr_cmp - hr))
+            elif ltype == "L1_lf":
+                loss = jnp.mean(jnp.abs(gaussian_lowpass(sr_cmp)
+                                        - gaussian_lowpass(hr)))
+            elif ltype.startswith("MFID_ref"):
+                n, t = refs.shape[:2]
+                sr_b = jnp.broadcast_to(sr[:, None], (n, t) + sr.shape[1:])
+                sr_b = sr_b.reshape((n * t,) + sr.shape[1:])
+                ref_b = refs.reshape((n * t,) + refs.shape[2:])
+                loss, _ = self.cx_mods[ltype](sr_b, ref_b)
+            elif ltype.startswith("FID_ref"):
+                loss, _ = self.cx_mods[ltype](sr, refs[:, -1])
+            elif ltype == "FID_hr":
+                # symmetric sr<->hr (Loss.py:126-134)
+                l_sh, _ = self.cx_mods[ltype](sr_cmp, hr)
+                l_hs, _ = self.cx_mods[ltype](hr, sr_cmp)
+                loss = l_sh + l_hs
+            else:  # pragma: no cover
+                raise AssertionError(ltype)
+            errs[ltype] = weight * loss
+            total = total + errs[ltype]
+
+        errs["total"] = total
+        errs["PSNR"] = jax.lax.stop_gradient(psnr(sr_cmp, hr))
+        return errs

@@ -1,0 +1,212 @@
+"""Trainer: sliding-window recurrent training under jit with DP sharding.
+
+Reference: /root/reference/trainers/trainer.py + baseTrainer.py. Semantics kept:
+  - one optimizer step per sliding window position; `frame_itr_num` steps per
+    batch (trainer.py:158-188), gradient clip by global norm `gc` then Adam
+    (baseTrainer.py:189-210, :36-38), scheduler stepped per optimizer step
+  - cross-window recurrent state detached between steps (RefVSR.py:279-283)
+  - MFID ref set grows with the window position (trainer.py:176-179) — each
+    window position is its own compiled graph (shapes differ); XLA caches all
+    `frame_itr_num` variants after the first batch
+  - SPyNet is frozen via stop_gradient (structurally zero grads -> Adam no-op),
+    matching requires_grad=False (RefVSR.py:28-29)
+
+TPU-native deltas: DDP -> jit with NamedSharding over a `data` mesh axis (the
+gradient psum is inserted by XLA); GradScaler-AMP -> bf16 compute policy with
+f32 params/optimizer (config.is_amp)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from refvsr_tpu.configs import Config
+from refvsr_tpu.losses import LossModule
+from refvsr_tpu.models.refvsr import RefVSRNet, StreamState, init_stream_state
+from refvsr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from refvsr_tpu.train import schedule as schedules
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # itr counter ('train' itr_global)
+
+
+def build_network(config: Config) -> Any:
+    """Dynamic arch dispatch (models/SRNet.py:20-21 equivalent)."""
+    if config.network == "RefVSR":
+        return RefVSRNet(scale=config.scale, num_blocks=config.num_blocks,
+                         mid_channels=config.mid_channels,
+                         matching_ksize=config.matching_ksize,
+                         flag_HD_in=config.flag_HD_in,
+                         zero_flow=config.EVAL.is_gradio)
+    if config.network == "RefVSR_IR":
+        from refvsr_tpu.models.refvsr_ir import RefVSRIRNet
+        return RefVSRIRNet(scale=config.scale, num_blocks=config.num_blocks,
+                           mid_channels=config.mid_channels,
+                           matching_ksize=config.matching_ksize,
+                           flag_HD_in=config.flag_HD_in,
+                           keyframe_stride=config.keyframe_stride,
+                           zero_flow=config.EVAL.is_gradio)
+    raise KeyError(f"unknown network {config.network!r}")
+
+
+class Trainer:
+    def __init__(self, config: Config, mesh=None, seed: Optional[int] = None):
+        self.config = config
+        self.net = build_network(config)
+        self.loss_mod = LossModule(spec=config.loss, scale=config.scale,
+                                   flag_HD_in=config.flag_HD_in,
+                                   vgg_layer=config.CX_vgg_layer)
+        self.schedule = schedules.from_config(config)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.gc),
+            optax.scale_by_adam(b1=config.beta1, b2=0.999, eps=1e-8),
+            optax.scale_by_learning_rate(self.schedule),
+        )
+        self.mesh = mesh
+        self.seed = config.manual_seed if seed is None else seed
+        self.compute_dtype = jnp.bfloat16 if config.is_amp else jnp.float32
+        self._step_cache = {}
+        self._eval_cache = {}
+
+    # ---------------- initialization ----------------
+
+    def init_state(self, example_batch) -> tuple[TrainState, Any]:
+        """Init network + loss params from an example batch (numpy dict)."""
+        key = jax.random.PRNGKey(self.seed)
+        k_net, k_loss = jax.random.split(key)
+        t = self.config.frame_num
+        lrs = jnp.asarray(example_batch["LR_UW"][:, :t])
+        refs = jnp.asarray(example_batch["LR_REF_W"][:, :t])
+        n, _, h, w, _ = lrs.shape
+        state = init_stream_state(n, h, w, self.config.mid_channels)
+        params = self.net.init(k_net, lrs, refs, state)
+        hr = jnp.asarray(example_batch["HR_UW"][:, t // 2])
+        ref_key = "HR_REF_T" if self.config.is_use_T else "HR_REF_W"
+        ref_frames = jnp.asarray(example_batch[ref_key][:, :t])
+        sr_example = jnp.zeros_like(hr) if not self.config.flag_HD_in else \
+            jnp.zeros(hr.shape[:1] + (hr.shape[1] * self.config.scale,
+                                      hr.shape[2] * self.config.scale, 3),
+                      hr.dtype)
+        loss_params = self.loss_mod.init(k_loss, sr_example, hr, ref_frames)
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.zeros((), jnp.int32)), loss_params
+
+    # ---------------- train step ----------------
+
+    def _make_train_step(self):
+        net, loss_mod, tx = self.net, self.loss_mod, self.tx
+        cdt = self.compute_dtype
+
+        def train_step(ts: TrainState, loss_params, stream: StreamState,
+                       lrs, refs, hr, ref_frames):
+            def loss_fn(params):
+                out, new_stream = net.apply(
+                    params, lrs.astype(cdt), refs.astype(cdt), stream,
+                    method=type(net).forward_train)
+                out = out.astype(jnp.float32)
+                errs = loss_mod.apply(loss_params, out, hr, ref_frames)
+                return errs["total"], (errs, new_stream)
+
+            (_, (errs, new_stream)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ts.params)
+            updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+            new_params = optax.apply_updates(ts.params, updates)
+            new_ts = TrainState(params=new_params, opt_state=new_opt,
+                                step=ts.step + 1)
+            errs = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.float32), errs)
+            return new_ts, errs, new_stream
+
+        if self.mesh is not None:
+            mesh = self.mesh
+            rep = replicate(mesh)
+            stream_sh = jax.tree_util.tree_map(
+                lambda _: shard_batch(mesh, 4),
+                init_stream_state(1, 8, 8, 1))
+            return jax.jit(
+                train_step,
+                in_shardings=(rep, rep, stream_sh, shard_batch(mesh, 5),
+                              shard_batch(mesh, 5), shard_batch(mesh, 4),
+                              shard_batch(mesh, 5)))
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    @property
+    def train_step(self):
+        if "step" not in self._step_cache:
+            self._step_cache["step"] = self._make_train_step()
+        return self._step_cache["step"]
+
+    # ---------------- sliding-window iteration ----------------
+
+    def iteration(self, ts: TrainState, loss_params, batch,
+                  stream: Optional[StreamState] = None):
+        """One training batch = `frame_itr_num` sliding-window optimizer steps
+        (trainer.py:137-220). batch: numpy dict of (b, T_total, h, w, 3).
+        Returns (new_train_state, mean-errs dict, last stream state)."""
+        cfg = self.config
+        t = cfg.frame_num
+        lr_all = batch["LR_UW"]
+        ref_all = batch["LR_REF_W"]
+        hr_all = batch["HR_UW"]
+        ref_key = "HR_REF_T" if cfg.is_use_T else "HR_REF_W"
+        hr_ref_all = batch[ref_key]
+        total = lr_all.shape[1]
+        n, _, h, w, _ = lr_all.shape
+
+        errs_total = {}
+        norm = 0
+        for i in range(total - (t - 1)):
+            if i == 0:
+                # first window of a batch re-anchors recurrence (trainer.py:159)
+                stream = init_stream_state(n, h, w, cfg.mid_channels,
+                                           self.compute_dtype)
+            lrs = jnp.asarray(lr_all[:, i:i + t])
+            refs = jnp.asarray(ref_all[:, i:i + t])
+            hr = jnp.asarray(hr_all[:, i + t // 2])
+            ref_frames = jnp.asarray(hr_ref_all[:, : i + t])
+            ts, errs, stream = self.train_step(ts, loss_params, stream, lrs,
+                                               refs, hr, ref_frames)
+            norm += n
+            for k, v in errs.items():
+                errs_total[k] = errs_total.get(k, 0.0) + float(v) * n
+        errs_mean = {k: v / norm for k, v in errs_total.items()}
+        return ts, errs_mean, stream
+
+    # ---------------- evaluation ----------------
+
+    def _make_eval_fns(self):
+        net = self.net
+
+        @jax.jit
+        def eval_first(params, lrs, refs):
+            out, state, conf = net.apply(params, lrs, refs,
+                                         method=type(net).forward_first)
+            return out, state, conf
+
+        @jax.jit
+        def eval_stream(params, lrs, refs, state):
+            out, new_state, conf = net.apply(params, lrs, refs, state,
+                                             method=type(net).forward_stream)
+            return out, new_state, conf
+
+        return eval_first, eval_stream
+
+    @property
+    def eval_fns(self):
+        if "fns" not in self._eval_cache:
+            self._eval_cache["fns"] = self._make_eval_fns()
+        return self._eval_cache["fns"]
+
+    def current_lr(self, ts: TrainState) -> float:
+        return float(self.schedule(ts.step))

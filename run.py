@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""CLI entry point — public flag surface of the reference preserved.
+
+Reference: /root/reference/run.py:218-426. Train:
+  python run.py --is_train --mode RefVSR_MFID --config config_RefVSR_MFID \
+      --data RealMCVSR -LRS CA -b 2 --data_offset ./datasets
+Eval:
+  python run.py --mode RefVSR_MFID --config config_RefVSR_MFID \
+      --data RealMCVSR --ckpt_abs_name ckpt/RefVSR_MFID.ckpt \
+      --eval_mode quan_qual --data_offset ./datasets --output_offset ./out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="RefVSR-TPU")
+    p.add_argument("--is_train", action="store_true")
+    p.add_argument("--project", type=str, default="RefVSR_TPU")
+    p.add_argument("--mode", type=str, default="RefVSR_MFID")
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--data", type=str, default="RealMCVSR")
+    p.add_argument("-b", "--batch_size", type=int, default=None)
+    p.add_argument("-LRS", "--LRS", type=str, default="CA")
+    p.add_argument("-th", "--thread_num", type=int, default=None)
+    p.add_argument("-r", "--resume", type=str, default=None)
+    p.add_argument("-ra", "--resume_abs", type=str, default=None)
+    p.add_argument("-ss", "--save_sample", action="store_true")
+    p.add_argument("-vs", "--is_verbose", action="store_true")
+    p.add_argument("--data_offset", type=str, default=None)
+    p.add_argument("--output_offset", type=str, default=None)
+    p.add_argument("--log_offset", type=str, default=None)
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--total_itr", type=int, default=None)
+    # eval flags (run.py:364-382)
+    p.add_argument("--eval_mode", type=str, default="quan_qual")
+    p.add_argument("--ckpt_name", type=str, default=None)
+    p.add_argument("--ckpt_epoch", type=int, default=None)
+    p.add_argument("--ckpt_abs_name", type=str, default=None)
+    p.add_argument("--ckpt_sc", action="store_true",
+                   help="load best-by-score checkpoint")
+    p.add_argument("--qualitative_only", action="store_true")
+    p.add_argument("--quantitative_only", action="store_true")
+    p.add_argument("--vid_name", type=str, nargs="*", default=None)
+    p.add_argument("--test_set", type=str, default="test")
+    return p
+
+
+def build_config(args):
+    from refvsr_tpu.configs import get_config, set_data_path
+    import dataclasses
+
+    name = args.config or f"config_{args.mode}"
+    overrides = {"mode": args.mode, "is_train": args.is_train,
+                 "LRS": args.LRS, "data": args.data}
+    for field, val in (("batch_size", args.batch_size),
+                       ("thread_num", args.thread_num),
+                       ("data_offset", args.data_offset),
+                       ("output_offset", args.output_offset),
+                       ("log_offset", args.log_offset),
+                       ("total_itr", args.total_itr)):
+        if val is not None:
+            overrides[field] = val
+    if args.save_sample:
+        overrides["save_sample"] = True
+    if args.is_verbose:
+        overrides["is_verbose"] = True
+    c = get_config(name, **overrides)
+
+    ev = dataclasses.replace(
+        c.EVAL, eval_mode=args.eval_mode, ckpt_name=args.ckpt_name,
+        ckpt_epoch=args.ckpt_epoch, ckpt_abs_name=args.ckpt_abs_name,
+        load_ckpt_by_score=bool(args.ckpt_sc or args.ckpt_abs_name is None),
+        qualitative_only=args.qualitative_only,
+        quantitative_only=args.quantitative_only,
+        vid_name=args.vid_name, test_set=args.test_set)
+    c = c.replace(EVAL=ev)
+    c = set_data_path(c, is_train=args.is_train)
+    if not args.is_train:
+        c = set_data_path(c, is_train=True)  # valid paths for trainer init
+    return c
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    config = build_config(args)
+
+    random.seed(config.manual_seed)
+    np.random.seed(config.manual_seed)
+
+    if args.is_train:
+        from refvsr_tpu.train.runner import Runner
+        runner = Runner(config)
+        if args.resume is not None:
+            runner.resume(int(args.resume))
+        elif args.resume_abs is not None:
+            runner.resume_abs(args.resume_abs)
+        runner.train(max_epochs=args.max_epochs)
+    else:
+        from refvsr_tpu.eval.runner import evaluate
+        summary = evaluate(config)
+        print(summary)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""End-to-end tests on a synthetic RealMCVSR tree: data pipeline -> training
+steps -> checkpointing -> streaming eval. Runs on CPU with tiny model dims."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from refvsr_tpu.configs import get_config, set_data_path
+
+
+def _write_clip(root, cam, clip, n_frames, h, w, seed):
+    rng = np.random.default_rng(seed)
+    d = os.path.join(root, cam, clip)
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_frames):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(d, f"{i:04d}.png"))
+
+
+@pytest.fixture(scope="module")
+def fake_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("RealMCVSR_root")
+    ds = root / "RealMCVSR"
+    lr_h, lr_w = 64, 64
+    n_frames = 8
+    for split, clips in (("train", ["0000", "0001"]), ("valid", ["0002"]),
+                        ("test", ["0003"])):
+        for clip_i, clip in enumerate(clips):
+            for cam in ("UW", "W", "T"):
+                _write_clip(str(ds / split / "LRx4"), cam, clip, n_frames,
+                            lr_h, lr_w, seed=hash((split, clip, cam, 4)) % 2**31)
+                _write_clip(str(ds / split / "LRx2"), cam, clip, n_frames,
+                            2 * lr_h, 2 * lr_w,
+                            seed=hash((split, clip, cam, 2)) % 2**31)
+                _write_clip(str(ds / split / "HR"), cam, clip, n_frames,
+                            4 * lr_h, 4 * lr_w,
+                            seed=hash((split, clip, cam, 1)) % 2**31)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tiny_config(fake_dataset, tmp_path_factory):
+    log = tmp_path_factory.mktemp("logs")
+    c = get_config(
+        "RefVSR_MFID", mode="tinytest", is_train=True,
+        data_offset=fake_dataset, log_offset=str(log),
+        batch_size=1, patch_size=16, frame_num=3, frame_itr_num=2,
+        num_blocks=2, mid_channels=8, reset_branch=2,
+        loss="1*L1", total_itr=4, write_ckpt_every_epoch=1, thread_num=0)
+    c = set_data_path(c, is_train=True)
+    c = set_data_path(c, is_train=False)
+    return c
+
+
+def test_train_dataset_geometry(tiny_config):
+    from refvsr_tpu.data.datasets import TrainDataset
+    ds = TrainDataset(tiny_config)
+    assert len(ds) > 0
+    item = ds[0]
+    t_total = tiny_config.frame_num + tiny_config.frame_itr_num - 1
+    p = tiny_config.patch_size
+    assert item["LR_UW"].shape == (t_total, p, p, 3)
+    assert item["LR_REF_W"].shape == (t_total, 2 * p, 2 * p, 3)
+    assert item["HR_UW"].shape == (t_total, 4 * p, 4 * p, 3)
+    assert item["HR_REF_W"].shape == (t_total, 4 * p, 4 * p, 3)
+    assert item["LR_UW"].dtype == np.float32
+    assert 0.0 <= item["LR_UW"].min() and item["LR_UW"].max() <= 1.0
+
+
+def test_runner_train_and_ckpt(tiny_config):
+    from refvsr_tpu.train.runner import Runner
+    runner = Runner(tiny_config)
+    ts = runner.train(max_epochs=1)
+    assert int(ts.step) > 0
+    # checkpoint written and scored
+    lst = os.path.join(tiny_config.log_dir, "checkpoint", "train", "epoch",
+                       "checkpoints.txt")
+    assert os.path.exists(lst)
+    lines = open(lst).read().splitlines()
+    assert len(lines) >= 2  # entry + most-recent marker
+    # resume path loads
+    runner2 = Runner(tiny_config)
+    runner2.resume(0)
+    assert runner2.epoch0 == 1
+
+
+def test_eval_qual_quan(tiny_config, capsys):
+    from refvsr_tpu.eval.runner import eval_qual_quan
+    cfg = tiny_config.replace(is_train=False)
+    summary = eval_qual_quan(cfg)
+    assert summary["frames"] == 8
+    assert np.isfinite(summary["PSNR"]) and 0 < summary["SSIM"] <= 1
+
+
+def test_dryrun_multichip_2dev():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(2)
+
+
+def test_loss_spec_parse():
+    from refvsr_tpu.losses import parse_loss_spec
+    terms = parse_loss_spec("1*L1_lf+0.05*MFID_ref_X_mu+0.01*FID_hr")
+    assert terms == [(1.0, "L1_lf"), (0.05, "MFID_ref_X_mu"), (0.01, "FID_hr")]
+    assert parse_loss_spec("1*L1+") == [(1.0, "L1")]
+
+
+def test_cosine_schedule_endpoints():
+    from refvsr_tpu.train.schedule import cosine_annealing_restart
+    s = cosine_annealing_restart(2e-4, 1e-6, 300000, restarts=[0],
+                                 restart_weights=[1.0])
+    assert abs(float(s(0)) - 2e-4) < 1e-9
+    assert abs(float(s(1)) - 2e-4) < 1e-9
+    assert abs(float(s(300001)) - 1e-6) < 1e-8
+    mid = float(s(150001))
+    assert 0.9e-4 < mid < 1.1e-4
