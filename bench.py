@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state streaming-inference throughput of the flagship
+RefVSR_MFID_8K model (HD input -> 4x SR toward 8K) on the available TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured fps / 30 (the BASELINE.md north star: >30 fps 4x 8K
+streaming on a v5e-8 — this round benches a single chip).
+
+The full 8K output path needs ~10+ GB HBM in bf16; if the chip OOMs we fall
+back to progressively smaller tiles and report the fps normalized to 8K pixel
+throughput (pixels/s / 8K-frame pixels) so rounds stay comparable."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
+                 iters=8, warmup=2):
+    import jax
+    import jax.numpy as jnp
+    from refvsr_tpu.models.refvsr import RefVSRNet, init_stream_state
+
+    dtype = jnp.bfloat16
+    net = RefVSRNet(scale=4, num_blocks=num_blocks, mid_channels=mid_channels,
+                    matching_ksize=8, flag_HD_in=True)
+    key = jax.random.PRNGKey(0)
+    n, t = 1, frame_num
+    lrs = jax.random.uniform(key, (n, t, h, w, 3), dtype)
+    refs = jax.random.uniform(key, (n, t, h, w, 3), dtype)
+    state = init_stream_state(n, h, w, mid_channels, dtype)
+
+    # init on small spatial dims to keep init fast, reuse param tree shapes
+    # init in f32 (initializers emit f32; mixed dtypes break scan carries),
+    # then cast the whole param tree to the bench compute dtype.
+    si = 64
+    lrs_i = jax.random.uniform(key, (n, t, si, si * 2, 3), jnp.float32)
+    refs_i = jax.random.uniform(key, (n, t, si, si * 2, 3), jnp.float32)
+    params = net.init(key, lrs_i, refs_i,
+                      init_stream_state(n, si, si * 2, mid_channels))
+    from refvsr_tpu.utils.precision import cast_floating
+    params = cast_floating(params, dtype)
+
+    @jax.jit
+    def step(params, lrs, refs, state):
+        out, new_state, _ = net.apply(params, lrs, refs, state,
+                                      method=RefVSRNet.forward_stream)
+        return out, new_state
+
+    out, state = step(params, lrs, refs, state)
+    out.block_until_ready()
+    for _ in range(warmup - 1):
+        out, state = step(params, lrs, refs, state)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, state = step(params, lrs, refs, state)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, out.shape
+
+
+def main():
+    # HD-in requires H,W divisible by 8 (aa1 kernel = matching_ksize//2 = 4 on
+    # the half-res grid); 1080/8=135 exactly as in the reference's HD protocol.
+    sizes = [(1080, 1920), (544, 960), (272, 480)]
+    target_out_pixels = 4320 * 7680
+    err = None
+    for h, w in sizes:
+        try:
+            fps, out_shape = bench_stream(h, w)
+            out_pixels = out_shape[1] * out_shape[2]
+            fps_8k_equiv = fps * out_pixels / target_out_pixels
+            full_8k = out_pixels == target_out_pixels
+            rec = {
+                "metric": "stream_fps_8k" if full_8k else "stream_fps_8k_equiv",
+                "value": round(fps if full_8k else fps_8k_equiv, 4),
+                "unit": "fps",
+                "vs_baseline": round(
+                    (fps if full_8k else fps_8k_equiv) / 30.0, 4),
+                "raw_fps": round(fps, 4),
+                "out_shape": list(out_shape),
+            }
+            print(json.dumps(rec))
+            return
+        except Exception as e:  # OOM or compile failure -> try smaller
+            err = e
+            print(f"# bench at {h}x{w} failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+    print(json.dumps({"metric": "stream_fps_8k", "value": 0.0, "unit": "fps",
+                      "vs_baseline": 0.0, "error": str(err)[:200]}))
+
+
+if __name__ == "__main__":
+    main()

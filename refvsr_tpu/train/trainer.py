@@ -111,8 +111,10 @@ class Trainer:
         def train_step(ts: TrainState, loss_params, stream: StreamState,
                        lrs, refs, hr, ref_frames):
             def loss_fn(params):
+                from refvsr_tpu.utils.precision import cast_floating
+                p = cast_floating(params, cdt) if cdt != jnp.float32 else params
                 out, new_stream = net.apply(
-                    params, lrs.astype(cdt), refs.astype(cdt), stream,
+                    p, lrs.astype(cdt), refs.astype(cdt), stream,
                     method=type(net).forward_train)
                 out = out.astype(jnp.float32)
                 errs = loss_mod.apply(loss_params, out, hr, ref_frames)
