@@ -19,10 +19,21 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
                  iters=8, warmup=2):
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
     from refvsr_tpu.models.refvsr import RefVSRNet, init_stream_state
 
     dtype = jnp.bfloat16

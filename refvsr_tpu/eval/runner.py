@@ -71,8 +71,11 @@ def init_eval(config: Config):
     Path(save_root).mkdir(parents=True, exist_ok=True)
 
     ef, es = trainer.eval_fns
-    runner = StreamRunner(trainer.net, params, config.reset_branch, ef, es,
-                          compute_dtype=trainer.compute_dtype)
+    runner = StreamRunner(
+        trainer.net, params, config.reset_branch, ef, es,
+        compute_dtype=trainer.compute_dtype,
+        keyframe_stride=(config.keyframe_stride
+                         if config.network == "RefVSR_IR" else None))
     return trainer, ds, runner, save_root, score_root, ckpt_name
 
 

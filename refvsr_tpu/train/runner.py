@@ -124,9 +124,11 @@ class Runner:
         cfg = self.config
         t = cfg.frame_num
         ef, es = self.trainer.eval_fns
-        runner = StreamRunner(self.trainer.net, self.ts.params,
-                              cfg.reset_branch, ef, es,
-                              compute_dtype=self.trainer.compute_dtype)
+        runner = StreamRunner(
+            self.trainer.net, self.ts.params, cfg.reset_branch, ef, es,
+            compute_dtype=self.trainer.compute_dtype,
+            keyframe_stride=(cfg.keyframe_stride
+                             if cfg.network == "RefVSR_IR" else None))
         vals = []
         n = len(self.valid_ds) if max_items is None else min(
             max_items, len(self.valid_ds))

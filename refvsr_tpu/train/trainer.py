@@ -104,18 +104,25 @@ class Trainer:
 
     # ---------------- train step ----------------
 
+    @property
+    def is_ir(self):
+        return self.config.network == "RefVSR_IR"
+
     def _make_train_step(self):
         net, loss_mod, tx = self.net, self.loss_mod, self.tx
         cdt = self.compute_dtype
+        is_ir = self.is_ir
 
         def train_step(ts: TrainState, loss_params, stream: StreamState,
-                       lrs, refs, hr, ref_frames):
+                       lrs, refs, hr, ref_frames, keyframe_mask):
             def loss_fn(params):
                 from refvsr_tpu.utils.precision import cast_floating
                 p = cast_floating(params, cdt) if cdt != jnp.float32 else params
+                args = (lrs.astype(cdt), refs.astype(cdt), stream)
+                if is_ir:
+                    args = args + (keyframe_mask,)
                 out, new_stream = net.apply(
-                    p, lrs.astype(cdt), refs.astype(cdt), stream,
-                    method=type(net).forward_train)
+                    p, *args, method=type(net).forward_train)
                 out = out.astype(jnp.float32)
                 errs = loss_mod.apply(loss_params, out, hr, ref_frames)
                 return errs["total"], (errs, new_stream)
@@ -140,7 +147,7 @@ class Trainer:
                 train_step,
                 in_shardings=(rep, rep, stream_sh, shard_batch(mesh, 5),
                               shard_batch(mesh, 5), shard_batch(mesh, 4),
-                              shard_batch(mesh, 5)))
+                              shard_batch(mesh, 5), rep))
         return jax.jit(train_step, donate_argnums=(0,))
 
     @property
@@ -168,17 +175,26 @@ class Trainer:
 
         errs_total = {}
         norm = 0
+        kf_first = None
         for i in range(total - (t - 1)):
             if i == 0:
                 # first window of a batch re-anchors recurrence (trainer.py:159)
                 stream = init_stream_state(n, h, w, cfg.mid_channels,
                                            self.compute_dtype)
+                kf_first = None
+            if self.is_ir:
+                from refvsr_tpu.models.refvsr_ir import sliding_keyframe_mask
+                kf_mask, kf_first = sliding_keyframe_mask(
+                    t, cfg.keyframe_stride, kf_first)
+            else:
+                kf_mask = np.zeros(t, bool)
             lrs = jnp.asarray(lr_all[:, i:i + t])
             refs = jnp.asarray(ref_all[:, i:i + t])
             hr = jnp.asarray(hr_all[:, i + t // 2])
             ref_frames = jnp.asarray(hr_ref_all[:, : i + t])
             ts, errs, stream = self.train_step(ts, loss_params, stream, lrs,
-                                               refs, hr, ref_frames)
+                                               refs, hr, ref_frames,
+                                               jnp.asarray(kf_mask))
             norm += n
             for k, v in errs.items():
                 errs_total[k] = errs_total.get(k, 0.0) + float(v) * n
@@ -189,18 +205,26 @@ class Trainer:
 
     def _make_eval_fns(self):
         net = self.net
+        if self.is_ir:
+            @jax.jit
+            def eval_first(params, lrs, refs, keyframe_mask):
+                return net.apply(params, lrs, refs, keyframe_mask,
+                                 method=type(net).forward_first)
 
-        @jax.jit
-        def eval_first(params, lrs, refs):
-            out, state, conf = net.apply(params, lrs, refs,
-                                         method=type(net).forward_first)
-            return out, state, conf
+            @jax.jit
+            def eval_stream(params, lrs, refs, state, keyframe_mask):
+                return net.apply(params, lrs, refs, state, keyframe_mask,
+                                 method=type(net).forward_stream)
+        else:
+            @jax.jit
+            def eval_first(params, lrs, refs):
+                return net.apply(params, lrs, refs,
+                                 method=type(net).forward_first)
 
-        @jax.jit
-        def eval_stream(params, lrs, refs, state):
-            out, new_state, conf = net.apply(params, lrs, refs, state,
-                                             method=type(net).forward_stream)
-            return out, new_state, conf
+            @jax.jit
+            def eval_stream(params, lrs, refs, state):
+                return net.apply(params, lrs, refs, state,
+                                 method=type(net).forward_stream)
 
         return eval_first, eval_stream
 
