@@ -57,21 +57,27 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
     params = cast_floating(params, dtype)
 
     @jax.jit
-    def step(params, lrs, refs, state):
+    def step(params, lrs, refs, state, acc):
         out, new_state, _ = net.apply(params, lrs, refs, state,
                                       method=RefVSRNet.forward_stream)
-        return out, new_state
+        # fold the full output into a carried scalar: the recurrent state only
+        # depends on the cheap forward step, so without this the backward
+        # branch of every non-final iteration would be dead-code-eliminated.
+        return out, new_state, acc + jnp.mean(out.astype(jnp.float32))
 
-    out, state = step(params, lrs, refs, state)
-    out.block_until_ready()
-    for _ in range(warmup - 1):
-        out, state = step(params, lrs, refs, state)
-    out.block_until_ready()
+    # NOTE on sync: on the tunneled axon backend block_until_ready() returns
+    # before execution finishes, so we force a device->host scalar transfer —
+    # once, after the timed loop, amortizing the tunnel round-trip.
+    acc = jnp.zeros((), jnp.float32)
+    for _ in range(warmup):
+        out, state, acc = step(params, lrs, refs, state, acc)
+    float(acc)
 
+    acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, state = step(params, lrs, refs, state)
-    out.block_until_ready()
+        out, state, acc = step(params, lrs, refs, state, acc)
+    assert np.isfinite(float(acc))  # host sync: waits for the full chain
     dt = (time.perf_counter() - t0) / iters
     return 1.0 / dt, out.shape
 

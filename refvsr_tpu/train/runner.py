@@ -55,6 +55,13 @@ class Runner:
     def _init_params(self):
         batch = next(iter(self.loader))
         self.ts, self.loss_params = self.trainer.init_state(batch)
+        # complexity report (trainers/trainer.py:85-100 cost.txt equivalent)
+        from refvsr_tpu.utils.profiling import write_cost_report
+        try:
+            write_cost_report(os.path.join(self.config.log_dir, "cost.txt"),
+                              self.ts.params)
+        except OSError:
+            pass
         return batch
 
     def resume(self, epoch: int):
@@ -129,6 +136,7 @@ class Runner:
             compute_dtype=self.trainer.compute_dtype,
             keyframe_stride=(cfg.keyframe_stride
                              if cfg.network == "RefVSR_IR" else None))
+        sample_dir = os.path.join(cfg.log_dir, "sample", "valid")
         vals = []
         n = len(self.valid_ds) if max_items is None else min(
             max_items, len(self.valid_ds))
@@ -141,6 +149,15 @@ class Runner:
                                    item["is_first"])
             gt = item["HR_UW"][t // 2]
             out = sr[0]
+            if cfg.save_sample and i < 4:
+                # sample-image dumps (run.py:177-196 equivalent)
+                from PIL import Image
+                Path(sample_dir).mkdir(parents=True, exist_ok=True)
+                for tag, img in (("SR", out), ("HR", gt),
+                                 ("LR", item["LR_UW"][t // 2])):
+                    Image.fromarray(
+                        (np.clip(img, 0, 1) * 255).round().astype(np.uint8)
+                    ).save(os.path.join(sample_dir, f"{i:03d}_{tag}.png"))
             if cfg.flag_HD_in:
                 from refvsr_tpu.data.np_ops import np_resize
                 out = np.clip(np_resize(out, scale_factor=1 / cfg.scale,
