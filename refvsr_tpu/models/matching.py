@@ -37,7 +37,7 @@ def _l2_normalize(x, axis, eps=1e-12):
     return x / jnp.maximum(n, eps)
 
 
-def tiled_argmax_matmul(ref_p, lr_p, tile: int = 4096):
+def tiled_argmax_matmul(ref_p, lr_p, tile: int | None = None):
     """max/argmax over ref patches of (ref_p @ lr_p^T) without materializing it.
 
     ref_p: (N, L_ref, D) L2-normalized; lr_p: (N, L_lr, D) L2-normalized.
@@ -45,6 +45,10 @@ def tiled_argmax_matmul(ref_p, lr_p, tile: int = 4096):
     (strict > update), matching torch.max tie behavior on CPU."""
     n, l_ref, d = ref_p.shape
     l_lr = lr_p.shape[1]
+    if tile is None:
+        # keep each f32 sim tile under ~256 MB (HBM headroom at 8K scale)
+        budget = (256 << 20) // (4 * max(n * l_lr, 1))
+        tile = max(256, min(4096, budget))
     tile = min(tile, l_ref)
     num_tiles = -(-l_ref // tile)
     pad = num_tiles * tile - l_ref

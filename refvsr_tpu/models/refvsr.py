@@ -167,15 +167,14 @@ class RefVSRNet(nn.Module):
         index = index.reshape((n, t) + index.shape[1:])
         return conf, index
 
-    def encode_refs(self, refs):
+    def encode_ref(self, ref):
         """ref_feat = res1(enc1(ref)); ref_feat_down = res2(enc2(ref_feat))
-        (RefVSR.py:233-234). refs: (N, T, hr, wr, 3)."""
-        n, t = refs.shape[:2]
-        r = refs.reshape((n * t,) + refs.shape[2:])
-        f = self.res1(self.ref_encoder1_1(self.ref_encoder1_0(r)))
+        (RefVSR.py:233-234). ref: (N, hr, wr, 3). Computed INSIDE the
+        propagation step (not batched over time) so the scan's stacked inputs
+        carry 3-channel images instead of mid_channels features — at 8K the
+        stacked features would cost multiple GB of HBM."""
+        f = self.res1(self.ref_encoder1_1(self.ref_encoder1_0(ref)))
         fd = self.res2(self.ref_encoder2_1(self.ref_encoder2_0(f)))
-        f = f.reshape((n, t) + f.shape[1:])
-        fd = fd.reshape((n, t) + fd.shape[1:])
         return f, fd
 
     def rap(self, lr, ref, conf, conf_prop, index, feat_prop, feat_prop_up,
@@ -223,9 +222,10 @@ class RefVSRNet(nn.Module):
         resblocks = (self.backward_resblocks if branch == "backward"
                      else self.forward_resblocks)
         feat_prop = resblocks(jnp.concatenate([x["lr"], feat_prop], -1))
+        ref_feat, ref_feat_down = self.encode_ref(x["ref"])
         feat_prop, feat_prop_up, conf_prop = self.rap(
             x["lr"], x["ref"], x["conf"], conf_prop, x["index"], feat_prop,
-            feat_prop_up, x["ref_feat_down"], x["ref_feat"])
+            feat_prop_up, ref_feat_down, ref_feat)
         return (feat_prop, feat_prop_up, conf_prop), None
 
     def _scan_branch(self, branch, warp_up_from_low, carry, xs):
@@ -255,7 +255,7 @@ class RefVSRNet(nn.Module):
     # ---------------- entry points ----------------
 
     def _backward_branch(self, lrs, refs, backward_flows, confs, indices,
-                         ref_feats, ref_feats_down, frame_offset: int):
+                         frame_offset: int):
         """Full backward branch over frames t-1 .. t//2 (RefVSR.py:210-238).
 
         All per-frame arrays here are indexed relative to `frame_offset` (the
@@ -281,8 +281,6 @@ class RefVSRNet(nn.Module):
             "ref": jnp.stack([refs[:, i] for i in frames], 0),
             "conf": jnp.stack([confs[:, i] for i in rel], 0),
             "index": jnp.stack([indices[:, i] for i in rel], 0),
-            "ref_feat": jnp.stack([ref_feats[:, i] for i in rel], 0),
-            "ref_feat_down": jnp.stack([ref_feats_down[:, i] for i in rel], 0),
             "flow": flows.transpose(1, 0, 2, 3, 4),
         }
         carry = (jnp.zeros((n, h, w, mid), dt),
@@ -290,25 +288,22 @@ class RefVSRNet(nn.Module):
                  jnp.zeros((n, h, w, 1), dt))
         return self._scan_branch("backward", False, carry, xs)
 
-    def _forward_step0(self, state: StreamState, lr, ref, conf, index,
-                       ref_feat, ref_feat_down):
+    def _forward_step0(self, state: StreamState, lr, ref, conf, index):
         """Peeled first forward step: warps the carried-in StreamState with its
         saved flow (RefVSR.py:256-260; zeros state for a first frame)."""
         carry = (state.feat_prop, state.feat_prop_up, state.conf_prop)
         x = {"lr": lr, "ref": ref, "conf": conf, "index": index,
-             "ref_feat": ref_feat, "ref_feat_down": ref_feat_down,
              "flow": state.flow}
         carry, _ = self._prop_step("forward", False, carry, x)
         return carry
 
     def _forward_branch_full(self, state, lrs, refs, forward_flows, confs,
-                             indices, ref_feats, ref_feats_down):
+                             indices):
         """Forward branch over frames 0..t//2 (training / first frame)."""
         t = lrs.shape[1]
         center = t // 2
         carry0 = self._forward_step0(
-            state, lrs[:, 0], refs[:, 0], confs[:, 0], indices[:, 0],
-            ref_feats[:, 0], ref_feats_down[:, 0])
+            state, lrs[:, 0], refs[:, 0], confs[:, 0], indices[:, 0])
         if center == 0:
             return carry0, carry0
         xs = {
@@ -316,9 +311,6 @@ class RefVSRNet(nn.Module):
             "ref": refs[:, 1:center + 1].transpose(1, 0, 2, 3, 4),
             "conf": confs[:, 1:center + 1].transpose(1, 0, 2, 3, 4),
             "index": indices[:, 1:center + 1].transpose(1, 0, 2),
-            "ref_feat": ref_feats[:, 1:center + 1].transpose(1, 0, 2, 3, 4),
-            "ref_feat_down":
-                ref_feats_down[:, 1:center + 1].transpose(1, 0, 2, 3, 4),
             # frame i warps with forward_flows[:, i-1] (RefVSR.py:252)
             "flow": forward_flows[:, 0:center].transpose(1, 0, 2, 3, 4),
         }
@@ -339,13 +331,11 @@ class RefVSRNet(nn.Module):
         n, t = lrs.shape[:2]
         fwd_flows, bwd_flows = self.compute_flows(lrs)
         confs, indices = self.compute_matching(lrs, refs)
-        ref_feats, ref_feats_down = self.encode_refs(refs)
 
         bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
-                                         ref_feats, ref_feats_down, 0)
+                                         0)
         fw_carry, fw_carry0 = self._forward_branch_full(
-            state, lrs, refs, fwd_flows, confs, indices, ref_feats,
-            ref_feats_down)
+            state, lrs, refs, fwd_flows, confs, indices)
         out = self._finalize(lrs[:, t // 2], bw_carry, fw_carry)
         new_state = StreamState(
             feat_prop=jax.lax.stop_gradient(fw_carry0[0]),
@@ -362,13 +352,11 @@ class RefVSRNet(nn.Module):
         state = init_stream_state(n, h, w, self.mid_channels, lrs.dtype)
         fwd_flows, bwd_flows = self.compute_flows(lrs)
         confs, indices = self.compute_matching(lrs, refs)
-        ref_feats, ref_feats_down = self.encode_refs(refs)
 
         bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
-                                         ref_feats, ref_feats_down, 0)
+                                         0)
         fw_carry, _ = self._forward_branch_full(
-            state, lrs, refs, fwd_flows, confs, indices, ref_feats,
-            ref_feats_down)
+            state, lrs, refs, fwd_flows, confs, indices)
         out = jnp.clip(self._finalize(lrs[:, t // 2], bw_carry, fw_carry), 0, 1)
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
@@ -386,13 +374,12 @@ class RefVSRNet(nn.Module):
         tail_lrs = lrs[:, center:]
         tail_refs = refs[:, center:]
         confs, indices = self.compute_matching(tail_lrs, tail_refs)
-        ref_feats, ref_feats_down = self.encode_refs(tail_refs)
 
         bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
-                                         ref_feats, ref_feats_down, center)
+                                         center)
         fw_carry = self._forward_step0(
-            state, lrs[:, center], refs[:, center], confs[:, 0], indices[:, 0],
-            ref_feats[:, 0], ref_feats_down[:, 0])
+            state, lrs[:, center], refs[:, center], confs[:, 0],
+            indices[:, 0])
         out = jnp.clip(self._finalize(lrs[:, center], bw_carry, fw_carry), 0, 1)
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
