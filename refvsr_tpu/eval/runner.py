@@ -97,7 +97,14 @@ def eval_qual_quan(config: Config):
     first_write = True
     results_summary = {}
 
+    # multi-host: shard by WHOLE video so recurrent state stays process-local
+    # (data_sampler.py:31-43,64-72 semantics)
+    import jax
+    proc, nproc = jax.process_index(), jax.process_count()
+
     for i in range(len(ds)):
+        if nproc > 1 and ds.idx_video[i] % nproc != proc:
+            continue
         item = ds[i]
         if item.get("is_continue"):
             frame_len_prev += 1

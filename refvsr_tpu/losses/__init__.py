@@ -26,8 +26,21 @@ from refvsr_tpu.losses.contextual import CXLoss
 from refvsr_tpu.ops.image import gaussian_lowpass
 from refvsr_tpu.ops.resize import resize
 
-_SUPPORTED = {"MSE", "L1", "L1_lf", "FID_hr", "FID_ref", "FID_ref_X_mu",
-              "MFID_ref", "MFID_ref_X_mu"}
+_BASIC = {"MSE", "L1", "L1_lf"}
+_CX_RE = re.compile(
+    r"^(M?FID)_(hr|ref)(_CoBi)?(_L1|_L2)?(_X_mu)?$")
+
+
+def cx_options(ltype: str):
+    """Decode a CX loss-type name into CXLoss kwargs (Loss.py:41-63 table)."""
+    m = _CX_RE.match(ltype)
+    if not m:
+        return None
+    _, _, cobi, dist, x_mu = m.groups()
+    return dict(
+        is_cobi=cobi is not None,
+        loss_type={"_L1": "L1", "_L2": "L2", None: "cosine"}[dist],
+        x_self_mu=x_mu is not None)
 
 
 def parse_loss_spec(spec: str):
@@ -38,12 +51,7 @@ def parse_loss_spec(spec: str):
         if not part:
             continue
         weight, ltype = part.split("*")
-        if ltype not in _SUPPORTED:
-            if "CoBi" in ltype or re.search(r"_(L1|L2)$", ltype):
-                raise NotImplementedError(
-                    f"loss type {ltype!r}: CoBi / L1/L2-distance CX variants are "
-                    "defined by the reference but used by no shipped config; "
-                    "see losses/contextual.py to extend.")
+        if ltype not in _BASIC and cx_options(ltype) is None:
             raise ValueError(f"unknown loss type {ltype!r} in spec {spec!r}")
         terms.append((float(weight), ltype))
     return terms
@@ -70,11 +78,10 @@ class LossModule(nn.Module):
         self.terms = parse_loss_spec(self.spec)
         cx_mods = {}
         for _, ltype in self.terms:
-            if "FID" in ltype:
+            opts = cx_options(ltype)
+            if opts is not None:
                 cx_mods[ltype] = CXLoss(
-                    vgg_layer=self.vgg_layer,
-                    x_self_mu=ltype.endswith("_X_mu"),
-                    name=f"cx_{ltype}")
+                    vgg_layer=self.vgg_layer, name=f"cx_{ltype}", **opts)
         self.cx_mods = cx_mods
 
     def __call__(self, sr, hr, refs):
@@ -106,7 +113,7 @@ class LossModule(nn.Module):
                 loss, _ = self.cx_mods[ltype](sr_b, ref_b)
             elif ltype.startswith("FID_ref"):
                 loss, _ = self.cx_mods[ltype](sr, refs[:, -1])
-            elif ltype == "FID_hr":
+            elif ltype.startswith("FID_hr"):
                 # symmetric sr<->hr (Loss.py:126-134)
                 l_sh, _ = self.cx_mods[ltype](sr_cmp, hr)
                 l_hs, _ = self.cx_mods[ltype](hr, sr_cmp)

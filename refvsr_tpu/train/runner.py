@@ -94,7 +94,8 @@ class Runner:
             self.loader.set_epoch(epoch)
             t0 = time.time()
             train_errs, n_batches = {}, 0
-            for batch in self.loader:
+            from refvsr_tpu.data.prefetch import prefetch
+            for batch in prefetch(self.loader, depth=2):
                 self.ts, errs, _ = self.trainer.iteration(
                     self.ts, self.loss_params, batch)
                 n_batches += 1
