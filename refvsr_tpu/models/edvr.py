@@ -69,24 +69,22 @@ def modulated_deform_conv(x, offset, mask, weight, bias, deform_groups: int):
     x0 = jnp.floor(sx)
     wy = sy - y0
     wx = sx - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
+    y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1)
 
-    flat = xg.reshape(n * dg, h * w, cg)
-
-    def tap(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        g = jnp.take_along_axis(flat, idx.reshape(n * dg, -1, 1),
-                                axis=1).reshape(n * dg, h, w, ntaps, cg)
-        return jnp.where(valid[..., None], g, jnp.zeros((), x.dtype))
+    # one 2x2xC patch gather per tap (see ops/warp.py for why this is exact
+    # for zero-padding semantics and ~6x faster than row gathers on TPU)
+    from refvsr_tpu.ops.warp import gather_bilinear_patches
+    patches = gather_bilinear_patches(xg, y0i, x0i)  # (n*dg,h,w,ntaps,2,2,cg)
 
     w00 = ((1 - wy) * (1 - wx))[..., None].astype(x.dtype)
     w01 = ((1 - wy) * wx)[..., None].astype(x.dtype)
     w10 = (wy * (1 - wx))[..., None].astype(x.dtype)
     w11 = (wy * wx)[..., None].astype(x.dtype)
-    sampled = (tap(y0i, x0i) * w00 + tap(y0i, x0i + 1) * w01
-               + tap(y0i + 1, x0i) * w10 + tap(y0i + 1, x0i + 1) * w11)
+    sampled = (patches[..., 0, 0, :] * w00 + patches[..., 0, 1, :] * w01
+               + patches[..., 1, 0, :] * w10 + patches[..., 1, 1, :] * w11)
+    valid = ((y0 >= -1.0) & (y0 <= h - 1.0) & (x0 >= -1.0) & (x0 <= w - 1.0))
+    sampled = jnp.where(valid[..., None], sampled, jnp.zeros((), x.dtype))
 
     m = mask.reshape(n, h, w, dg, ntaps).transpose(0, 3, 1, 2, 4).reshape(
         n * dg, h, w, ntaps)

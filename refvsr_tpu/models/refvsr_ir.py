@@ -132,10 +132,18 @@ class RefVSRIRNet(nn.Module):
     _seq2 = RefVSRNet._seq2
     compute_flows = RefVSRNet.compute_flows
     compute_matching = RefVSRNet.compute_matching
-    encode_refs = RefVSRNet.encode_refs
+    encode_ref = RefVSRNet.encode_ref
     rap = RefVSRNet.rap
     compute_up = RefVSRNet.compute_up
     _finalize = RefVSRNet._finalize
+
+    def encode_refs(self, refs):
+        """Batched over time (IR windows are small — 270p inputs; the plain
+        RefVSR encodes inside the scan instead for 8K HBM reasons)."""
+        n, t = refs.shape[:2]
+        f, fd = self.encode_ref(refs.reshape((n * t,) + refs.shape[2:]))
+        return (f.reshape((n, t) + f.shape[1:]),
+                fd.reshape((n, t) + fd.shape[1:]))
 
     # ---------------- information refill ----------------
 

