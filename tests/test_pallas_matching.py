@@ -1,0 +1,27 @@
+"""Pallas streaming-argmax matching kernel vs dense oracle (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from refvsr_tpu.ops.pallas.matching_kernel import pallas_argmax_matmul
+
+
+def test_pallas_matching_matches_dense(rng):
+    ref_p = rng.standard_normal((2, 700, 144)).astype(np.float32)
+    lr_p = rng.standard_normal((2, 300, 144)).astype(np.float32)
+    conf, idx = pallas_argmax_matmul(jnp.asarray(ref_p), jnp.asarray(lr_p),
+                                     interpret=True)
+    dense = np.einsum("nrd,nld->nrl", ref_p, lr_p)
+    np.testing.assert_allclose(np.asarray(conf), dense.max(1), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), dense.argmax(1))
+
+
+def test_pallas_matching_ragged_sizes(rng):
+    # non-multiple L_ref/L_lr/D exercise the padding/masking paths
+    ref_p = rng.standard_normal((1, 513, 100)).astype(np.float32)
+    lr_p = rng.standard_normal((1, 257, 100)).astype(np.float32)
+    conf, idx = pallas_argmax_matmul(jnp.asarray(ref_p), jnp.asarray(lr_p),
+                                     tile_lr=128, tile_ref=256, interpret=True)
+    dense = np.einsum("nrd,nld->nrl", ref_p, lr_p)
+    np.testing.assert_allclose(np.asarray(conf), dense.max(1), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), dense.argmax(1))
