@@ -43,7 +43,8 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
     n, t = 1, frame_num
     lrs = jax.random.uniform(key, (n, t, h, w, 3), dtype)
     refs = jax.random.uniform(key, (n, t, h, w, 3), dtype)
-    state = init_stream_state(n, h, w, mid_channels, dtype)
+    state = init_stream_state(n, h, w, mid_channels, dtype,
+                              num_frames=frame_num)
 
     # init on small spatial dims to keep init fast, reuse param tree shapes
     # init in f32 (initializers emit f32; mixed dtypes break scan carries),
@@ -52,7 +53,8 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
     lrs_i = jax.random.uniform(key, (n, t, si, si * 2, 3), jnp.float32)
     refs_i = jax.random.uniform(key, (n, t, si, si * 2, 3), jnp.float32)
     params = net.init(key, lrs_i, refs_i,
-                      init_stream_state(n, si, si * 2, mid_channels))
+                      init_stream_state(n, si, si * 2, mid_channels,
+                                        num_frames=frame_num))
     from refvsr_tpu.utils.precision import cast_floating
     params = cast_floating(params, dtype)
 

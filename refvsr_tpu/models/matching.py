@@ -152,6 +152,50 @@ class FeatureMatching(nn.Module):
         return conf, index
 
 
+
+def affine_bilinear_gather(xp, p_row, p_col):
+    """Bilinear sampling with the reference's clamped-corner semantics
+    (alignment.py:62-89): corners q are clamped into the canvas independently
+    of the weights, so when the lt corner sits on the last row/col the rb
+    corner re-reads the SAME row/col — a deliberate boundary double-count we
+    reproduce via clamp-selected corners of a single 2x2xC patch gather.
+
+    xp: (N, Hp, Wp, C) already-padded canvas; p_row/p_col: (N, ...) f32."""
+    hp, wp = xp.shape[1], xp.shape[2]
+    lt_row = jnp.floor(p_row)
+    lt_col = jnp.floor(p_col)
+    rb_row, rb_col = lt_row + 1, lt_col + 1
+    lt_row_c = jnp.clip(lt_row, 0, hp - 1)
+    lt_col_c = jnp.clip(lt_col, 0, wp - 1)
+    rb_row_c = jnp.clip(rb_row, 0, hp - 1)
+    rb_col_c = jnp.clip(rb_col, 0, wp - 1)
+    p_row_c = jnp.clip(p_row, 0, hp - 1)
+    p_col_c = jnp.clip(p_col, 0, wp - 1)
+
+    # bilinear weights with *clamped* corners and coords (alignment.py:74-77)
+    g_lt = (1 + (lt_row_c - p_row_c)) * (1 + (lt_col_c - p_col_c))
+    g_rb = (1 - (rb_row_c - p_row_c)) * (1 - (rb_col_c - p_col_c))
+    g_lb = (1 + (lt_row_c - p_row_c)) * (1 - (rb_col_c - p_col_c))
+    g_rt = (1 - (rb_row_c - p_row_c)) * (1 + (lt_col_c - p_col_c))
+
+    from refvsr_tpu.ops.warp import gather_bilinear_patches
+    patches = gather_bilinear_patches(
+        xp, lt_row_c.astype(jnp.int32), lt_col_c.astype(jnp.int32))
+    # rb collapses onto lt when clamping bites on EITHER side (lt at the last
+    # row/col, or lt < 0 so rb clamps to 0 == clamped lt)
+    sel_y = (rb_row_c == lt_row_c)[..., None]
+    sel_x = (rb_col_c == lt_col_c)[..., None]
+    v00 = patches[..., 0, 0, :]
+    v01 = jnp.where(sel_x, v00, patches[..., 0, 1, :])
+    v10 = jnp.where(sel_y, v00, patches[..., 1, 0, :])
+    v11 = jnp.where(sel_y, v01, jnp.where(sel_x, v10, patches[..., 1, 1, :]))
+
+    return (v00 * g_lt[..., None].astype(xp.dtype)
+            + v11 * g_rb[..., None].astype(xp.dtype)
+            + v01 * g_lb[..., None].astype(xp.dtype)
+            + v10 * g_rt[..., None].astype(xp.dtype))
+
+
 class AlignedConv2d(nn.Module):
     """Per-pixel affine (scale_x, scale_y, rotation<=±60°) patch resampler
     (alignment.py:10-178). modulation is False in all reference configs."""
@@ -220,38 +264,10 @@ class AlignedConv2d(nn.Module):
         # reflection pad the canvas (alignment.py:16,53-54)
         pad = self.padding
         xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
-        hp, wp = xp.shape[1], xp.shape[2]
-
-        lt_row = jnp.floor(p_row)
-        lt_col = jnp.floor(p_col)
-        rb_row, rb_col = lt_row + 1, lt_col + 1
-        lt_row_c = jnp.clip(lt_row, 0, hp - 1)
-        lt_col_c = jnp.clip(lt_col, 0, wp - 1)
-        rb_row_c = jnp.clip(rb_row, 0, hp - 1)
-        rb_col_c = jnp.clip(rb_col, 0, wp - 1)
-        p_row_c = jnp.clip(p_row, 0, hp - 1)
-        p_col_c = jnp.clip(p_col, 0, wp - 1)
-
-        # bilinear weights with *clamped* corners and coords (alignment.py:74-77)
-        g_lt = (1 + (lt_row_c - p_row_c)) * (1 + (lt_col_c - p_col_c))
-        g_rb = (1 - (rb_row_c - p_row_c)) * (1 - (rb_col_c - p_col_c))
-        g_lb = (1 + (lt_row_c - p_row_c)) * (1 - (rb_col_c - p_col_c))
-        g_rt = (1 - (rb_row_c - p_row_c)) * (1 + (lt_col_c - p_col_c))
-
-        flat = xp.reshape(n, hp * wp, -1)
-        c = flat.shape[-1]
-
-        def gather(row, col):
-            idx = (row * wp + col).astype(jnp.int32).reshape(n, -1, 1)
-            return jnp.take_along_axis(flat, idx, axis=1).reshape(
-                n, h, w, ntaps, c)
-
-        out = (gather(lt_row_c, lt_col_c) * g_lt[..., None]
-               + gather(rb_row_c, rb_col_c) * g_rb[..., None]
-               + gather(lt_row_c, rb_col_c) * g_lb[..., None]
-               + gather(rb_row_c, lt_col_c) * g_rt[..., None])
+        out = affine_bilinear_gather(xp, p_row, p_col)
 
         # (N, h, w, ks, ks, C) -> (N, h*ks, w*ks, C)  (alignment.py:172-178)
+        c = x.shape[-1]
         out = out.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)
         return out.reshape(n, h * ks, w * ks, c)
 

@@ -44,20 +44,31 @@ from refvsr_tpu.ops.warp import warp
 
 @flax.struct.dataclass
 class StreamState:
-    """Cross-window recurrent state (replaces RefVSR.py:96-99 module attrs)."""
+    """Cross-window recurrent state (replaces RefVSR.py:96-99 module attrs).
+
+    flows_fwd/flows_bwd cache the window's SPyNet flows: consecutive streamed
+    windows advance by exactly one frame, so window_{i+1}'s pairs are
+    window_i's pairs shifted by one plus ONE new pair — identical values at
+    1/(t-1) the SPyNet cost. The shift property also holds at clip edges
+    because frame indices are clamped to the same bounds on both windows
+    (datasets.py:233-234)."""
     feat_prop: jnp.ndarray       # (N, h, w, C)
     feat_prop_up: jnp.ndarray    # (N, 2h, 2w, C)
     conf_prop: jnp.ndarray       # (N, h, w, 1)
     flow: jnp.ndarray            # (N, h, w, 2)
+    flows_fwd: jnp.ndarray       # (N, T-1, h, w, 2)
+    flows_bwd: jnp.ndarray       # (N, T-1, h, w, 2)
 
 
 def init_stream_state(n: int, h: int, w: int, mid_channels: int,
-                      dtype=jnp.float32) -> StreamState:
+                      dtype=jnp.float32, num_frames: int = 7) -> StreamState:
     return StreamState(
         feat_prop=jnp.zeros((n, h, w, mid_channels), dtype),
         feat_prop_up=jnp.zeros((n, 2 * h, 2 * w, mid_channels), dtype),
         conf_prop=jnp.zeros((n, h, w, 1), dtype),
         flow=jnp.zeros((n, h, w, 2), dtype),
+        flows_fwd=jnp.zeros((n, num_frames - 1, h, w, 2), dtype),
+        flows_bwd=jnp.zeros((n, num_frames - 1, h, w, 2), dtype),
     )
 
 
@@ -139,7 +150,11 @@ class RefVSRNet(nn.Module):
 
     def compute_flows(self, lrs):
         """lrs: (N, T, H, W, 3) -> (forward_flows, backward_flows) each
-        (N, T-1, H, W, 2). Batched over time (RefVSR.py:179-193 loops)."""
+        (N, T-1, H, W, 2). Batched over time for small frames (one big MXU
+        batch instead of the reference's per-pair loop, RefVSR.py:179-193);
+        for large frames the 2*(T-1) pairs run as an nn.scan instead — the
+        batched SPyNet pyramid costs ~P * H*W * 64ch of HBM, which at HD input
+        is >5 GB per activation and breaks the compile."""
         n, t, h, w, c = lrs.shape
         if self.zero_flow:
             z = jnp.zeros((n, t - 1, h, w, 2), lrs.dtype)
@@ -148,8 +163,17 @@ class RefVSRNet(nn.Module):
         prv = lrs[:, :-1].reshape(n * (t - 1), h, w, c)
         # forward_flows[j] = Flow(ref=lr_{j+1}, supp=lr_j)  (RefVSR.py:184)
         # backward_flows[j] = Flow(ref=lr_j, supp=lr_{j+1}) (RefVSR.py:189)
-        both = self.flow_net(jnp.concatenate([nxt, prv], 0),
-                             jnp.concatenate([prv, nxt], 0))
+        ref_all = jnp.concatenate([nxt, prv], 0)
+        supp_all = jnp.concatenate([prv, nxt], 0)
+        if h * w * ref_all.shape[0] <= 2 ** 21 * 6:  # ~12.6M pixel-pairs
+            both = self.flow_net(ref_all, supp_all)
+        else:
+            def step(mdl, carry, x):
+                return carry, mdl.flow_net(x["r"][None], x["s"][None])[0]
+
+            scan = nn.scan(step, variable_broadcast="params",
+                           split_rngs={"params": False})
+            _, both = scan(self, None, {"r": ref_all, "s": supp_all})
         both = jax.lax.stop_gradient(both)  # SPyNet frozen + no_grad (RefVSR.py:28,179)
         fwd = both[: n * (t - 1)].reshape(n, t - 1, h, w, 2)
         bwd = both[n * (t - 1):].reshape(n, t - 1, h, w, 2)
@@ -215,9 +239,12 @@ class RefVSRNet(nn.Module):
         feat_prop, feat_prop_up, conf_prop = carry
         flow2 = _flow_up2(x["flow"])
         up_src = feat_prop if warp_up_from_low else feat_prop_up
-        feat_prop = warp(feat_prop, x["flow"])
+        # conf_prop rides the feature warp (same flow/grid): a standalone
+        # 1-channel warp is ~10x the cost of the 48-channel one on TPU
+        mid = feat_prop.shape[-1]
+        packed = warp(jnp.concatenate([feat_prop, conf_prop], -1), x["flow"])
+        feat_prop, conf_prop = packed[..., :mid], packed[..., mid:]
         feat_prop_up = warp(up_src, flow2)
-        conf_prop = warp(conf_prop, x["flow"])
 
         resblocks = (self.backward_resblocks if branch == "backward"
                      else self.forward_resblocks)
@@ -341,7 +368,8 @@ class RefVSRNet(nn.Module):
             feat_prop=jax.lax.stop_gradient(fw_carry0[0]),
             feat_prop_up=jax.lax.stop_gradient(fw_carry0[1]),
             conf_prop=jax.lax.stop_gradient(fw_carry0[2]),
-            flow=jax.lax.stop_gradient(fwd_flows[:, 0]))
+            flow=jax.lax.stop_gradient(fwd_flows[:, 0]),
+            flows_fwd=fwd_flows, flows_bwd=bwd_flows)
         return out, new_state
 
     def forward_first(self, lrs, refs):
@@ -349,7 +377,8 @@ class RefVSRNet(nn.Module):
         (RefVSR.py:279-283 with is_train=False). Output clamped to [0,1]."""
         n, t = lrs.shape[:2]
         h, w = lrs.shape[2], lrs.shape[3]
-        state = init_stream_state(n, h, w, self.mid_channels, lrs.dtype)
+        state = init_stream_state(n, h, w, self.mid_channels, lrs.dtype,
+                                  num_frames=t)
         fwd_flows, bwd_flows = self.compute_flows(lrs)
         confs, indices = self.compute_matching(lrs, refs)
 
@@ -360,8 +389,24 @@ class RefVSRNet(nn.Module):
         out = jnp.clip(self._finalize(lrs[:, t // 2], bw_carry, fw_carry), 0, 1)
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
-            conf_prop=fw_carry[2], flow=fwd_flows[:, t // 2])
+            conf_prop=fw_carry[2], flow=fwd_flows[:, t // 2],
+            flows_fwd=fwd_flows, flows_bwd=bwd_flows)
         return out, new_state, (bw_carry[2], fw_carry[2], confs[:, t // 2])
+
+    def _shift_cached_flows(self, lrs, state: StreamState):
+        """Window flows from the cached previous window + one new SPyNet pair
+        (see StreamState docstring; values identical to recomputing all)."""
+        if self.zero_flow:
+            return state.flows_fwd, state.flows_bwd
+        last, prev = lrs[:, -1], lrs[:, -2]
+        pair = self.flow_net(jnp.concatenate([last, prev], 0),
+                             jnp.concatenate([prev, last], 0))
+        pair = jax.lax.stop_gradient(pair)
+        n = lrs.shape[0]
+        new_fwd, new_bwd = pair[:n], pair[n:]
+        fwd = jnp.concatenate([state.flows_fwd[:, 1:], new_fwd[:, None]], 1)
+        bwd = jnp.concatenate([state.flows_bwd[:, 1:], new_bwd[:, None]], 1)
+        return fwd, bwd
 
     def forward_stream(self, lrs, refs, state: StreamState):
         """Eval streaming window: full backward branch, forward branch computes
@@ -369,7 +414,7 @@ class RefVSRNet(nn.Module):
         Matching/encoding run only for frames center..t-1."""
         n, t = lrs.shape[:2]
         center = t // 2
-        fwd_flows, bwd_flows = self.compute_flows(lrs)
+        fwd_flows, bwd_flows = self._shift_cached_flows(lrs, state)
         # only frames >= center are matched/encoded (RefVSR.py:198-202)
         tail_lrs = lrs[:, center:]
         tail_refs = refs[:, center:]
@@ -383,7 +428,8 @@ class RefVSRNet(nn.Module):
         out = jnp.clip(self._finalize(lrs[:, center], bw_carry, fw_carry), 0, 1)
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
-            conf_prop=fw_carry[2], flow=fwd_flows[:, center])
+            conf_prop=fw_carry[2], flow=fwd_flows[:, center],
+            flows_fwd=fwd_flows, flows_bwd=bwd_flows)
         return out, new_state, (bw_carry[2], fw_carry[2], confs[:, 0])
 
     def __call__(self, lrs, refs, state: StreamState):

@@ -133,6 +133,7 @@ class RefVSRIRNet(nn.Module):
     compute_flows = RefVSRNet.compute_flows
     compute_matching = RefVSRNet.compute_matching
     encode_ref = RefVSRNet.encode_ref
+    _shift_cached_flows = RefVSRNet._shift_cached_flows
     rap = RefVSRNet.rap
     compute_up = RefVSRNet.compute_up
     _finalize = RefVSRNet._finalize
@@ -181,16 +182,20 @@ class RefVSRIRNet(nn.Module):
         'is_key', and (forward only) 'bw_out' + 'flow_up_src'."""
         feat_prop, feat_prop_up, conf_prop = carry
         up_flow = x["flow_up"]
-        feat_prop_w = warp(feat_prop, x["flow"])
+        mid = feat_prop.shape[-1]
         if branch == "backward":
+            # conf rides the feature warp (same flow; 1ch-alone warps are slow)
+            packed = warp(jnp.concatenate([feat_prop, conf_prop], -1),
+                          x["flow"])
+            feat_prop, conf_prop = packed[..., :mid], packed[..., mid:]
             feat_prop_up = warp(feat_prop_up, _flow_up2(x["flow"]))
-            conf_prop = warp(conf_prop, x["flow"])
         else:
-            # forward: UP warps the LOW-res feat (RefVSR.py:254 behavior) with
-            # the (possibly stale — see module docstring) up_flow
-            feat_prop_up = warp(feat_prop_w, _flow_up2(up_flow))
+            # forward: feat warps with the true flow; UP warps the LOW-res
+            # feat (RefVSR.py:254 behavior) and conf with the (possibly stale
+            # — see module docstring) up_flow
+            feat_prop = warp(feat_prop, x["flow"])
+            feat_prop_up = warp(feat_prop, _flow_up2(up_flow))
             conf_prop = warp(conf_prop, up_flow)
-        feat_prop = feat_prop_w
 
         # information refill at keyframes (RefVSR_IR.py:294-297,333-335)
         fusion = (self.backward_fusion if branch == "backward"
@@ -223,7 +228,8 @@ class RefVSRIRNet(nn.Module):
     def __call__(self, lrs, refs, state: StreamState, keyframe_mask=None):
         return self.forward_train(lrs, refs, state, keyframe_mask)
 
-    def _run(self, lrs, refs, state: StreamState, keyframe_mask, clamp_out):
+    def _run(self, lrs, refs, state: StreamState, keyframe_mask, clamp_out,
+             cached_flows: bool = False):
         n, t, h, w, _ = lrs.shape
         center = t // 2
         mid = self.mid_channels
@@ -232,7 +238,12 @@ class RefVSRIRNet(nn.Module):
             keyframe_mask = sliding_keyframe_mask(t, self.keyframe_stride,
                                                   None)[0]
 
-        fwd_flows, bwd_flows = self.compute_flows(lrs)
+        if cached_flows:
+            # streamed window: shift the cached flows + ONE new SPyNet pair
+            # (identical values; see StreamState docstring)
+            fwd_flows, bwd_flows = self._shift_cached_flows(lrs, state)
+        else:
+            fwd_flows, bwd_flows = self.compute_flows(lrs)
         confs, indices = self.compute_matching(lrs, refs)
         ref_feats, ref_feats_down = self.encode_refs(refs)
         refill = self.compute_refill_features(lrs)
@@ -283,9 +294,9 @@ class RefVSRIRNet(nn.Module):
         carry = (state.feat_prop, state.feat_prop_up, state.conf_prop)
         # step-0 continue path warps the saved UP tensor (RefVSR_IR.py:330)
         feat_prop, feat_prop_up, conf_prop = carry
-        feat_prop = warp(feat_prop, x0["flow"])
+        packed = warp(jnp.concatenate([feat_prop, conf_prop], -1), x0["flow"])
+        feat_prop, conf_prop = packed[..., :mid], packed[..., mid:]
         feat_prop_up = warp(feat_prop_up, _flow_up2(x0["flow"]))
-        conf_prop = warp(conf_prop, x0["flow"])
         refilled = self.forward_fusion(
             jnp.concatenate([feat_prop, x0["refill"]], -1))
         feat_prop = jnp.where(x0["is_key"][:, None, None, None], refilled,
@@ -324,7 +335,9 @@ class RefVSRIRNet(nn.Module):
             feat_prop=jax.lax.stop_gradient(saved[0]),
             feat_prop_up=jax.lax.stop_gradient(saved[1]),
             conf_prop=jax.lax.stop_gradient(saved[2]),
-            flow=jax.lax.stop_gradient(fwd_flows[:, 0]))
+            flow=jax.lax.stop_gradient(fwd_flows[:, 0]),
+            flows_fwd=jax.lax.stop_gradient(fwd_flows),
+            flows_bwd=jax.lax.stop_gradient(bwd_flows))
         return out, new_state, (conf_prop_backward, carry[2], confs[:, center])
 
     def forward_train(self, lrs, refs, state: StreamState, keyframe_mask=None):
@@ -334,9 +347,11 @@ class RefVSRIRNet(nn.Module):
 
     def forward_first(self, lrs, refs, keyframe_mask=None):
         n, t, h, w, _ = lrs.shape
-        state = init_stream_state(n, h, w, self.mid_channels, lrs.dtype)
+        state = init_stream_state(n, h, w, self.mid_channels, lrs.dtype,
+                                  num_frames=t)
         return self._run(lrs, refs, state, keyframe_mask, clamp_out=True)
 
     def forward_stream(self, lrs, refs, state: StreamState,
                        keyframe_mask=None):
-        return self._run(lrs, refs, state, keyframe_mask, clamp_out=True)
+        return self._run(lrs, refs, state, keyframe_mask, clamp_out=True,
+                         cached_flows=True)

@@ -77,9 +77,10 @@ class Predictor:
         h = w = 64
         lrs = jax.random.uniform(key, (1, 3, h, w, 3))
         refs = jax.random.uniform(key, (1, 3, h, w, 3))
-        self.params = self.net.init(key, lrs, refs,
-                                    init_stream_state(1, h, w,
-                                                      self.config.mid_channels))
+        self.params = self.net.init(
+            key, lrs, refs,
+            init_stream_state(1, h, w, self.config.mid_channels,
+                              num_frames=3))
         return self.params
 
     def predict(self, lr_path: str, ref_path: str, out_path: str = "out.png"):

@@ -88,7 +88,8 @@ class Trainer:
         lrs = jnp.asarray(example_batch["LR_UW"][:, :t])
         refs = jnp.asarray(example_batch["LR_REF_W"][:, :t])
         n, _, h, w, _ = lrs.shape
-        state = init_stream_state(n, h, w, self.config.mid_channels)
+        state = init_stream_state(n, h, w, self.config.mid_channels,
+                                  num_frames=t)
         params = self.net.init(k_net, lrs, refs, state)
         hr = jnp.asarray(example_batch["HR_UW"][:, t // 2])
         ref_key = "HR_REF_T" if self.config.is_use_T else "HR_REF_W"
@@ -141,8 +142,9 @@ class Trainer:
             mesh = self.mesh
             rep = replicate(mesh)
             stream_sh = jax.tree_util.tree_map(
-                lambda _: shard_batch(mesh, 4),
-                init_stream_state(1, 8, 8, 1))
+                lambda x: shard_batch(mesh, x.ndim),
+                init_stream_state(1, 8, 8, 1,
+                                  num_frames=self.config.frame_num))
             return jax.jit(
                 train_step,
                 in_shardings=(rep, rep, stream_sh, shard_batch(mesh, 5),
@@ -180,7 +182,8 @@ class Trainer:
             if i == 0:
                 # first window of a batch re-anchors recurrence (trainer.py:159)
                 stream = init_stream_state(n, h, w, cfg.mid_channels,
-                                           self.compute_dtype)
+                                           self.compute_dtype,
+                                           num_frames=t)
                 kf_first = None
             if self.is_ir:
                 from refvsr_tpu.models.refvsr_ir import sliding_keyframe_mask

@@ -1,0 +1,48 @@
+"""affine_bilinear_gather vs a direct numpy transcription of the reference's
+clamped-corner bilinear formulas (alignment.py:62-89), incl. the boundary
+double-count when corners clamp onto each other."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from refvsr_tpu.models.matching import affine_bilinear_gather
+
+
+def _oracle(xp, p_row, p_col):
+    n, hp, wp, c = xp.shape
+    lt_r = np.floor(p_row); lt_c = np.floor(p_col)
+    rb_r, rb_c = lt_r + 1, lt_c + 1
+    lt_r_c = np.clip(lt_r, 0, hp - 1).astype(int)
+    lt_c_c = np.clip(lt_c, 0, wp - 1).astype(int)
+    rb_r_c = np.clip(rb_r, 0, hp - 1).astype(int)
+    rb_c_c = np.clip(rb_c, 0, wp - 1).astype(int)
+    p_r = np.clip(p_row, 0, hp - 1)
+    p_c = np.clip(p_col, 0, wp - 1)
+    g_lt = (1 + (lt_r_c - p_r)) * (1 + (lt_c_c - p_c))
+    g_rb = (1 - (rb_r_c - p_r)) * (1 - (rb_c_c - p_c))
+    g_lb = (1 + (lt_r_c - p_r)) * (1 - (rb_c_c - p_c))
+    g_rt = (1 - (rb_r_c - p_r)) * (1 + (lt_c_c - p_c))
+    bi = np.arange(n)[:, None, None]
+
+    def gv(r, idx_c):
+        return xp[bi, r, idx_c]
+
+    return (gv(lt_r_c, lt_c_c) * g_lt[..., None]
+            + gv(rb_r_c, rb_c_c) * g_rb[..., None]
+            + gv(lt_r_c, rb_c_c) * g_lb[..., None]
+            + gv(rb_r_c, lt_c_c) * g_rt[..., None])
+
+
+def test_affine_gather_matches_reference_formula(rng):
+    xp = rng.standard_normal((2, 6, 7, 3)).astype(np.float32)
+    # coords spanning interior, boundaries (incl. exact last row/col -> the
+    # double-count), and out-of-range (beyond clamping)
+    p_row = (rng.random((2, 4, 5)) * 9 - 2).astype(np.float32)
+    p_col = (rng.random((2, 4, 5)) * 10 - 2).astype(np.float32)
+    p_row[0, 0, 0] = 5.0   # exact last row
+    p_col[0, 0, 1] = 6.0   # exact last col
+    p_row[0, 0, 2] = 7.5   # far out of range
+    got = affine_bilinear_gather(jnp.asarray(xp), jnp.asarray(p_row),
+                                 jnp.asarray(p_col))
+    want = _oracle(xp, p_row, p_col)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)

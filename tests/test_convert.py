@@ -14,7 +14,8 @@ def _tiny_params():
     key = jax.random.PRNGKey(0)
     lrs = jax.random.uniform(key, (1, 3, 16, 16, 3))
     refs = jax.random.uniform(key, (1, 3, 32, 32, 3))
-    return net.init(key, lrs, refs, init_stream_state(1, 16, 16, 8))
+    return net.init(key, lrs, refs,
+                    init_stream_state(1, 16, 16, 8, num_frames=3))
 
 
 def test_keymap_unique_and_reference_shaped():

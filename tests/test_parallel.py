@@ -19,7 +19,8 @@ def _net_and_params(h=16, w=16, t=3):
     key = jax.random.PRNGKey(0)
     lrs = jax.random.uniform(key, (2, t, h, w, 3))
     refs = jax.random.uniform(key, (2, t, h, w, 3))
-    params = net.init(key, lrs, refs, init_stream_state(2, h, w, 8))
+    params = net.init(key, lrs, refs,
+                      init_stream_state(2, h, w, 8, num_frames=t))
     return net, params, lrs, refs
 
 
@@ -45,7 +46,7 @@ def test_data_parallel_eval_matches_single_device():
 def test_spatial_sharded_stream_compiles_and_matches():
     """H-axis sharding of the streaming step over 4 devices (8K path model)."""
     net, params, lrs, refs = _net_and_params(h=32, w=16)
-    state = init_stream_state(2, 32, 16, 8)
+    state = init_stream_state(2, 32, 16, 8, num_frames=3)
     mesh = make_mesh(n_data=1, n_spatial=4)
 
     def fwd(params, lrs, refs, state):
@@ -56,7 +57,9 @@ def test_spatial_sharded_stream_compiles_and_matches():
     ref_out = jax.jit(fwd)(params, lrs, refs, state)
     spatial = lambda ndim, axis: NamedSharding(
         mesh, P(*[None] * axis, "spatial", *[None] * (ndim - axis - 1)))
-    state_sh = jax.tree_util.tree_map(lambda x: spatial(x.ndim, 1), state)
+    # H is always the third-from-last axis (N,[T,]H,W,C-like leaves)
+    state_sh = jax.tree_util.tree_map(
+        lambda x: spatial(x.ndim, x.ndim - 3), state)
     out = jax.jit(fwd, in_shardings=(replicate(mesh), spatial(5, 2),
                                      spatial(5, 2), state_sh))(
         params, lrs, refs, state)

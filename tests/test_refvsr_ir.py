@@ -81,7 +81,7 @@ def ir_setup():
     key = jax.random.PRNGKey(0)
     lrs = jax.random.uniform(key, (N, T, H, W, 3))
     refs = jax.random.uniform(key, (N, T, 2 * H, 2 * W, 3))
-    state = init_stream_state(N, H, W, 8)
+    state = init_stream_state(N, H, W, 8, num_frames=T)
     mask = sliding_keyframe_mask(T, 2, None)[0]
     params = net.init(key, lrs, refs, state, mask)
     return net, params, lrs, refs, state, mask

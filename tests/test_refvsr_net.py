@@ -25,7 +25,7 @@ def train_setup():
     key = jax.random.PRNGKey(0)
     lrs = jax.random.uniform(key, (N, T, H, W, 3))
     refs = jax.random.uniform(key, (N, T, 2 * H, 2 * W, 3))  # train: ref is 2x
-    state = init_stream_state(N, H, W, 8)
+    state = init_stream_state(N, H, W, 8, num_frames=T)
     params = net.init(key, lrs, refs, state)
     return net, params, lrs, refs, state
 
@@ -90,7 +90,7 @@ def test_scale2_variant_builds():
     key = jax.random.PRNGKey(0)
     lrs = jax.random.uniform(key, (1, 3, 16, 16, 3))
     refs = jax.random.uniform(key, (1, 3, 32, 32, 3))
-    state = init_stream_state(1, 16, 16, 8)
+    state = init_stream_state(1, 16, 16, 8, num_frames=3)
     params = net.init(key, lrs, refs, state)
     out, _ = net.apply(params, lrs, refs, state)
     assert out.shape == (1, 32, 32, 3)
