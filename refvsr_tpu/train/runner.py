@@ -95,13 +95,25 @@ class Runner:
             t0 = time.time()
             train_errs, n_batches = {}, 0
             from refvsr_tpu.data.prefetch import prefetch
+            from refvsr_tpu.utils.console import format_train_line
+            t_batch = time.time()
             for batch in prefetch(self.loader, depth=2):
                 self.ts, errs, _ = self.trainer.iteration(
                     self.ts, self.loss_params, batch)
                 n_batches += 1
                 for k, v in errs.items():
                     train_errs[k] = train_errs.get(k, 0.0) + v
-                if int(self.ts.step) >= total_itr:
+                itr = int(self.ts.step)
+                if itr % max(1, cfg.write_log_every_itr_train) < \
+                        cfg.frame_itr_num:
+                    print(format_train_line(
+                        cfg.mode, epoch, itr, itr_per_epoch, errs,
+                        self.trainer.current_lr(self.ts),
+                        time.time() - t_batch))
+                    for k, v in errs.items():
+                        self.tb.add_scalar(f"train_itr/{k}", v, itr)
+                t_batch = time.time()
+                if itr >= total_itr:
                     break
             train_errs = {k: v / max(n_batches, 1)
                           for k, v in train_errs.items()}
