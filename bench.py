@@ -58,7 +58,9 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
     from refvsr_tpu.utils.precision import cast_floating
     params = cast_floating(params, dtype)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(3, 4))
     def step(params, lrs, refs, state, acc):
         out, new_state, _ = net.apply(params, lrs, refs, state,
                                       method=RefVSRNet.forward_stream)
@@ -84,35 +86,52 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
     return 1.0 / dt, out.shape
 
 
+def _run_one(h, w):
+    fps, out_shape = bench_stream(h, w)
+    target_out_pixels = 4320 * 7680
+    out_pixels = out_shape[1] * out_shape[2]
+    fps_8k_equiv = fps * out_pixels / target_out_pixels
+    full_8k = out_pixels == target_out_pixels
+    return {
+        "metric": "stream_fps_8k" if full_8k else "stream_fps_8k_equiv",
+        "value": round(fps if full_8k else fps_8k_equiv, 4),
+        "unit": "fps",
+        "vs_baseline": round((fps if full_8k else fps_8k_equiv) / 30.0, 4),
+        "raw_fps": round(fps, 4),
+        "out_shape": list(out_shape),
+    }
+
+
 def main():
     # HD-in requires H,W divisible by 8 (aa1 kernel = matching_ksize//2 = 4 on
     # the half-res grid); 1080/8=135 exactly as in the reference's HD protocol.
     sizes = [(1080, 1920), (544, 960), (272, 480)]
-    target_out_pixels = 4320 * 7680
-    err = None
+    if len(sys.argv) == 3 and sys.argv[1] == "--size":
+        h, w = (int(v) for v in sys.argv[2].split("x"))
+        print(json.dumps(_run_one(h, w)))
+        return
+
+    # each size runs in a subprocess with a hard timeout: a wedged remote
+    # compile must not hang the whole benchmark (first compiles through the
+    # tunnel take ~10-25 min; the persistent cache makes reruns fast)
+    import subprocess
+    err = "no size succeeded"
     for h, w in sizes:
         try:
-            fps, out_shape = bench_stream(h, w)
-            out_pixels = out_shape[1] * out_shape[2]
-            fps_8k_equiv = fps * out_pixels / target_out_pixels
-            full_8k = out_pixels == target_out_pixels
-            rec = {
-                "metric": "stream_fps_8k" if full_8k else "stream_fps_8k_equiv",
-                "value": round(fps if full_8k else fps_8k_equiv, 4),
-                "unit": "fps",
-                "vs_baseline": round(
-                    (fps if full_8k else fps_8k_equiv) / 30.0, 4),
-                "raw_fps": round(fps, 4),
-                "out_shape": list(out_shape),
-            }
-            print(json.dumps(rec))
-            return
-        except Exception as e:  # OOM or compile failure -> try smaller
-            err = e
-            print(f"# bench at {h}x{w} failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
+            res = subprocess.run(
+                [sys.executable, __file__, "--size", f"{h}x{w}"],
+                capture_output=True, text=True, timeout=2700)
+            for line in res.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    print(line)
+                    return
+            err = (res.stderr or res.stdout)[-200:]
+        except subprocess.TimeoutExpired:
+            err = f"timeout at {h}x{w}"
+        print(f"# bench at {h}x{w} failed: {err}", file=sys.stderr)
     print(json.dumps({"metric": "stream_fps_8k", "value": 0.0, "unit": "fps",
-                      "vs_baseline": 0.0, "error": str(err)[:200]}))
+                      "vs_baseline": 0.0, "error": err}))
 
 
 if __name__ == "__main__":

@@ -263,6 +263,64 @@ class RefVSRNet(nn.Module):
         carry, _ = scan(self, carry, xs)
         return carry
 
+    def _tail(self, out):
+        """upsample2 -> conv_hr -> conv_last (RefVSR.py:114-118)."""
+        if self.scale == 4:
+            out = lrelu(self.upsample2(out), 0.1)
+        out = lrelu(self.conv_hr(out), 0.1)
+        return self.conv_last(out)
+
+    _TAIL_TILE_THRESHOLD = 4 << 20  # pixels; ~2160x3840 features and above
+
+    def _tail_tiled(self, out):
+        """Row-tiled tail for 8K outputs: at (2160, 3840, 48) the direct tail
+        holds ~6 GB of activations (conv_hr/conv_last at 4320x7680x48) — more
+        than half a v5e's HBM. Process row chunks with a 4-row halo (receptive
+        field of conv3 -> pixel_shuffle(2) -> conv3 -> conv3 is 2 input rows;
+        4 gives margin) and crop; zero-padded halos at the image border match
+        'same' conv semantics exactly. Verified == direct in tests."""
+        n, h, w, c = out.shape
+        halo = 4
+        num_chunks = next((k for k in (8, 6, 4, 2, 1) if h % k == 0), 1)
+        if num_chunks == 1:
+            return self._tail(out)
+        chunk = h // num_chunks
+        padded = jnp.pad(out, [(0, 0), (halo, halo), (0, 0), (0, 0)])
+        tiles = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(padded, i * chunk, chunk + 2 * halo,
+                                          axis=1)
+             for i in range(num_chunks)], 0)  # (K, N, chunk+8, w, c)
+
+        up = 2 if self.scale == 4 else 1
+        # per-tile masks of rows that lie INSIDE the image (in up-space):
+        # edge tiles must re-zero the out-of-image halo after every biased op,
+        # or the next conv sees bias-polluted rows where the direct path's
+        # 'same' padding sees hard zeros.
+        import numpy as onp
+        tile_rows = up * (chunk + 2 * halo)
+        masks = onp.zeros((num_chunks, tile_rows), onp.float32)
+        for i in range(num_chunks):
+            g = up * (i * chunk - halo) + onp.arange(tile_rows)
+            masks[i] = ((g >= 0) & (g < up * h)).astype(onp.float32)
+        masks = jnp.asarray(masks, out.dtype)
+
+        def step(mdl, carry, xs):
+            tile, m = xs
+            m = m[None, :, None, None]
+            y = tile
+            if mdl.scale == 4:
+                y = lrelu(mdl.upsample2(y), 0.1) * m
+            y = lrelu(mdl.conv_hr(y), 0.1) * m
+            y = mdl.conv_last(y)
+            return carry, y[:, up * halo: up * (halo + chunk)]
+
+        _, outs = nn.scan(step, variable_broadcast="params",
+                          split_rngs={"params": False})(self, None,
+                                                        (tiles, masks))
+        # (K, N, up*chunk, up*w, 3) -> (N, up*h, up*w, 3)
+        outs = outs.transpose(1, 0, 2, 3, 4)
+        return outs.reshape(n, up * h, up * w, 3)
+
     def compute_up(self, backward_feat_up, forward_feat_up, conf_bw, conf_fw,
                    base):
         """Final fusion + upsampling (RefVSR.py:104-119)."""
@@ -274,10 +332,9 @@ class RefVSRNet(nn.Module):
                            jnp.concatenate([conf_bw, conf_fw], -1))
         out = out + alpha * self._seq2(self.feat_fusion_BWFW, cat_features)
         out = self.feat_decoder_BWFW(out)
-        if self.scale == 4:
-            out = lrelu(self.upsample2(out), 0.1)
-        out = lrelu(self.conv_hr(out), 0.1)
-        return self.conv_last(out) + base
+        if out.shape[1] * out.shape[2] >= self._TAIL_TILE_THRESHOLD:
+            return self._tail_tiled(out) + base
+        return self._tail(out) + base
 
     # ---------------- entry points ----------------
 

@@ -214,7 +214,7 @@ class Trainer:
                 return net.apply(params, lrs, refs, keyframe_mask,
                                  method=type(net).forward_first)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(3,))
             def eval_stream(params, lrs, refs, state, keyframe_mask):
                 return net.apply(params, lrs, refs, state, keyframe_mask,
                                  method=type(net).forward_stream)
@@ -224,7 +224,7 @@ class Trainer:
                 return net.apply(params, lrs, refs,
                                  method=type(net).forward_first)
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(3,))
             def eval_stream(params, lrs, refs, state):
                 return net.apply(params, lrs, refs, state,
                                  method=type(net).forward_stream)

@@ -94,3 +94,15 @@ def test_scale2_variant_builds():
     params = net.init(key, lrs, refs, state)
     out, _ = net.apply(params, lrs, refs, state)
     assert out.shape == (1, 32, 32, 3)
+
+
+def test_tiled_tail_matches_direct(train_setup):
+    """Row-tiled 8K tail == direct computation (halo/crop correctness)."""
+    net, params, _, _, _ = train_setup
+    import jax
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 24, 8))
+
+    direct = net.apply(params, method=lambda m: m._tail(x))
+    tiled = net.apply(params, method=lambda m: m._tail_tiled(x))
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(direct),
+                               atol=2e-6)
