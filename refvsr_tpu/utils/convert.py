@@ -169,3 +169,39 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         obj = obj["state_dict"]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in obj.items()}
+
+
+def load_vgg19_features(vgg_sd: Dict[str, np.ndarray], params_template):
+    """Fill every VGGFeatures subtree in a params template from a torchvision
+    vgg19 state_dict ('features.<idx>.weight/bias' keys; classifier ignored).
+
+    Covers both the network's matching prefix (feature_match.feature_extract)
+    and the loss CX VGGs (cx_*/vgg). Returns (params, filled_leaf_count)."""
+    flat = jax.tree_util.tree_flatten_with_path(params_template)
+    filled = {}
+    count = 0
+    for path, leaf in flat[0]:
+        names = tuple(getattr(p, "key", getattr(p, "name", str(p)))
+                      for p in path)
+        idx = None
+        for i, n in enumerate(names):
+            m = re.fullmatch(r"conv_(\d+)", n)
+            if m and i > 0 and names[i - 1] in ("feature_extract", "vgg"):
+                idx = m.group(1)
+                break
+        key = None
+        if idx is not None:
+            suffix = "weight" if names[-1] == "kernel" else "bias"
+            key = f"features.{idx}.{suffix}"
+        if key is not None and key in vgg_sd:
+            w = np.asarray(vgg_sd[key])
+            if w.ndim == 4:
+                w = w.transpose(2, 3, 1, 0)
+            if w.shape == np.shape(leaf):
+                filled[names] = w.astype(np.asarray(leaf).dtype)
+                count += 1
+                continue
+        filled[names] = leaf
+    leaves = [filled[tuple(getattr(p, 'key', getattr(p, 'name', str(p)))
+                           for p in path)] for path, _ in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], leaves), count

@@ -64,3 +64,22 @@ def test_roundtrip_conversion():
     for path, leaf in jax.tree_util.tree_flatten_with_path(converted)[0]:
         p = tuple(getattr(x, 'key', str(x)) for x in path)
         np.testing.assert_array_equal(np.asarray(leaf), np.asarray(by_path[p]))
+
+
+def test_vgg19_feature_loader():
+    import numpy as np
+    from refvsr_tpu.utils.convert import load_vgg19_features
+    params = _tiny_params()
+    # synth torchvision-style sd covering features.0/2 (the scale-4 prefix)
+    sd = {"features.0.weight": np.full((64, 3, 3, 3), 0.5, np.float32),
+          "features.0.bias": np.zeros(64, np.float32),
+          "features.2.weight": np.full((64, 64, 3, 3), 0.25, np.float32),
+          "features.2.bias": np.zeros(64, np.float32)}
+    loaded, count = load_vgg19_features(sd, params)
+    assert count == 4
+    flat = {tuple(getattr(p, 'key', str(p)) for p in path): leaf
+            for path, leaf in
+            jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    key = next(k for k in flat if "feature_extract" in k and "conv_0" in k
+               and k[-1] == "kernel")
+    assert float(np.asarray(flat[key]).mean()) == 0.5
