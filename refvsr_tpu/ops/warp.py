@@ -52,16 +52,14 @@ def gather_bilinear_patches(x: jnp.ndarray, y0i: jnp.ndarray, x0i: jnp.ndarray):
     return patches.reshape(idx_shape + (2, 2, c))
 
 
-def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
-                     padding: str) -> jnp.ndarray:
-    """x: (N, H, W, C); sx/sy: (N, Ho, Wo) f32 source coords in pixel space."""
-    n, h, w, c = x.shape
-    sx = sx.astype(jnp.float32)
-    sy = sy.astype(jnp.float32)
-    if padding == "border":
-        sx = jnp.clip(sx, 0.0, w - 1.0)
-        sy = jnp.clip(sy, 0.0, h - 1.0)
+# output pixels above which the warp runs in row chunks: the patch-gather
+# intermediate carries a ~2.7x tiled-layout padding on TPU (bf16[P,2,2,48]),
+# which at 8K scale would be a multi-GB HLO temp. Chunking bounds it.
+_WARP_CHUNK_PIXELS = 1 << 21
 
+
+def _bilinear_sample_chunk(x, sx, sy, padding):
+    n, h, w, c = x.shape
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     tx = sx - x0
@@ -83,6 +81,39 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
                  & (x0 >= -1.0) & (x0 <= w - 1.0))
         out = jnp.where(valid[..., None], out, jnp.zeros((), x.dtype))
     return out
+
+
+def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
+                     padding: str) -> jnp.ndarray:
+    """x: (N, H, W, C); sx/sy: (N, Ho, Wo) f32 source coords in pixel space."""
+    n, h, w, c = x.shape
+    ho, wo = sx.shape[1], sx.shape[2]
+    sx = sx.astype(jnp.float32)
+    sy = sy.astype(jnp.float32)
+    if padding == "border":
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+        sy = jnp.clip(sy, 0.0, h - 1.0)
+
+    if n * ho * wo <= _WARP_CHUNK_PIXELS:
+        return _bilinear_sample_chunk(x, sx, sy, padding)
+
+    rows_per = max(1, _WARP_CHUNK_PIXELS // (n * wo))
+    num_chunks = -(-ho // rows_per)
+    pad_rows = num_chunks * rows_per - ho
+    if pad_rows:
+        sx = jnp.pad(sx, [(0, 0), (0, pad_rows), (0, 0)])
+        sy = jnp.pad(sy, [(0, 0), (0, pad_rows), (0, 0)])
+    sx_t = sx.reshape(n, num_chunks, rows_per, wo).transpose(1, 0, 2, 3)
+    sy_t = sy.reshape(n, num_chunks, rows_per, wo).transpose(1, 0, 2, 3)
+
+    def step(_, coords):
+        cx, cy = coords
+        return None, _bilinear_sample_chunk(x, cx, cy, padding)
+
+    _, outs = lax.scan(step, None, (sx_t, sy_t))
+    outs = outs.transpose(1, 0, 2, 3, 4).reshape(
+        n, num_chunks * rows_per, wo, c)
+    return outs[:, :ho]
 
 
 def warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
