@@ -179,21 +179,52 @@ def affine_bilinear_gather(xp, p_row, p_col):
     g_rt = (1 - (rb_row_c - p_row_c)) * (1 + (lt_col_c - p_col_c))
 
     from refvsr_tpu.ops.warp import gather_bilinear_patches
-    patches = gather_bilinear_patches(
-        xp, lt_row_c.astype(jnp.int32), lt_col_c.astype(jnp.int32))
-    # rb collapses onto lt when clamping bites on EITHER side (lt at the last
-    # row/col, or lt < 0 so rb clamps to 0 == clamped lt)
-    sel_y = (rb_row_c == lt_row_c)[..., None]
-    sel_x = (rb_col_c == lt_col_c)[..., None]
-    v00 = patches[..., 0, 0, :]
-    v01 = jnp.where(sel_x, v00, patches[..., 0, 1, :])
-    v10 = jnp.where(sel_y, v00, patches[..., 1, 0, :])
-    v11 = jnp.where(sel_y, v01, jnp.where(sel_x, v10, patches[..., 1, 1, :]))
 
-    return (v00 * g_lt[..., None].astype(xp.dtype)
-            + v11 * g_rb[..., None].astype(xp.dtype)
-            + v01 * g_lb[..., None].astype(xp.dtype)
-            + v10 * g_rt[..., None].astype(xp.dtype))
+    def weighted(idx_y, idx_x, sel_y, sel_x, w_lt, w_rb, w_lb, w_rt):
+        patches = gather_bilinear_patches(xp, idx_y, idx_x)
+        # rb collapses onto lt when clamping bites on EITHER side (lt at the
+        # last row/col, or lt < 0 so rb clamps to 0 == clamped lt)
+        sel_y = sel_y[..., None]
+        sel_x = sel_x[..., None]
+        v00 = patches[..., 0, 0, :]
+        v01 = jnp.where(sel_x, v00, patches[..., 0, 1, :])
+        v10 = jnp.where(sel_y, v00, patches[..., 1, 0, :])
+        v11 = jnp.where(sel_y, v01,
+                        jnp.where(sel_x, v10, patches[..., 1, 1, :]))
+        return (v00 * w_lt[..., None].astype(xp.dtype)
+                + v11 * w_rb[..., None].astype(xp.dtype)
+                + v01 * w_lb[..., None].astype(xp.dtype)
+                + v10 * w_rt[..., None].astype(xp.dtype))
+
+    args = (lt_row_c.astype(jnp.int32), lt_col_c.astype(jnp.int32),
+            rb_row_c == lt_row_c, rb_col_c == lt_col_c,
+            g_lt, g_rb, g_lb, g_rt)
+
+    n = xp.shape[0]
+    idx_shape = p_row.shape
+    total = int(np.prod(idx_shape[1:]))
+    chunk_elems = 1 << 20  # bound the padded patch temp (see ops/warp.py)
+    if n * total <= chunk_elems:
+        return weighted(*args)
+
+    per = max(1, chunk_elems // n)
+    num_chunks = -(-total // per)
+    pad = num_chunks * per - total
+
+    def prep(a):
+        a = a.reshape(n, total)
+        if pad:
+            a = jnp.pad(a, [(0, 0), (0, pad)])
+        return a.reshape(n, num_chunks, per).transpose(1, 0, 2)
+
+    stacked = tuple(prep(a) for a in args)
+
+    def step(_, xs):
+        return None, weighted(*xs)
+
+    _, outs = jax.lax.scan(step, None, stacked)  # (K, n, per, C)
+    outs = outs.transpose(1, 0, 2, 3).reshape(n, num_chunks * per, -1)
+    return outs[:, :total].reshape(idx_shape + (xp.shape[-1],))
 
 
 class AlignedConv2d(nn.Module):
