@@ -219,12 +219,15 @@ def affine_bilinear_gather(xp, p_row, p_col):
 
     stacked = tuple(prep(a) for a in args)
 
-    def step(_, xs):
-        return None, weighted(*xs)
+    c = xp.shape[-1]
 
-    _, outs = jax.lax.scan(step, None, stacked)  # (K, n, per, C)
-    outs = outs.transpose(1, 0, 2, 3).reshape(n, num_chunks * per, -1)
-    return outs[:, :total].reshape(idx_shape + (xp.shape[-1],))
+    def step(_, xs):
+        # flattened chunks avoid the C->128 lane padding on the stacked output
+        return None, weighted(*xs).reshape(n, per * c)
+
+    _, outs = jax.lax.scan(step, None, stacked)  # (K, n, per*C)
+    outs = outs.transpose(1, 0, 2).reshape(n, num_chunks * per, c)
+    return outs[:, :total].reshape(idx_shape + (c,))
 
 
 class AlignedConv2d(nn.Module):

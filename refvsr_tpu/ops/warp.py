@@ -108,11 +108,13 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
 
     def step(_, coords):
         cx, cy = coords
-        return None, _bilinear_sample_chunk(x, cx, cy, padding)
+        out = _bilinear_sample_chunk(x, cx, cy, padding)
+        # flatten: a stacked (..., wo, C) scan output would carry the C->128
+        # lane padding (2.67x HBM at C=48); 1-D chunks tile cleanly
+        return None, out.reshape(n, rows_per * wo * c)
 
     _, outs = lax.scan(step, None, (sx_t, sy_t))
-    outs = outs.transpose(1, 0, 2, 3, 4).reshape(
-        n, num_chunks * rows_per, wo, c)
+    outs = outs.transpose(1, 0, 2).reshape(n, num_chunks * rows_per, wo, c)
     return outs[:, :ho]
 
 
