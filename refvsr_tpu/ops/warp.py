@@ -36,19 +36,28 @@ def gather_bilinear_patches(x: jnp.ndarray, y0i: jnp.ndarray, x0i: jnp.ndarray):
     """Fetch 2x2xC corner patches at integer top-left coords (y0i, x0i).
 
     x: (N, H, W, C) UNPADDED; y0i/x0i: (N, ...) int32 in [-1, H-1]/[-1, W-1]
-    (callers clamp). Returns (N, ..., 2, 2, C)."""
+    (callers clamp). Returns (N, ..., 2, 2, C).
+
+    Formulation notes (all three alternatives measured on v5e):
+      * 4 independent row gathers: slow (XLA row-gather throughput bound).
+      * one lax.gather of (2,2,C) slices: fast, but XLA tiles the operand and
+        output over the tiny slice dims — 2.7-5.3x padded layouts, ~12 GB of
+        HLO temps at 8K.
+      * THIS: a pixel-pair canvas (x[w] ++ x[w+1] -> 2C channels) turns each
+        corner ROW into one full-minor-dim row gather — TPU's gather fast
+        path, clean (row, 2C) layouts, 2 gathers total."""
     n, h, w, c = x.shape
     idx_shape = y0i.shape
     xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
-    starts = jnp.stack([y0i + 1, x0i + 1], axis=-1).reshape(n, -1, 2)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(1, 2),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,))
-    patches = lax.gather(xp, starts, dnums, slice_sizes=(1, 2, 2, c),
-                         mode=lax.GatherScatterMode.CLIP)
+    hp, wp = h + 2, w + 2
+    shifted = jnp.pad(xp[:, :, 1:], [(0, 0), (0, 0), (0, 1), (0, 0)])
+    pair = jnp.concatenate([xp, shifted], axis=-1)       # (N, Hp, Wp, 2C)
+    flat = pair.reshape(n, hp * wp, 2 * c)
+
+    idx_top = ((y0i + 1) * wp + (x0i + 1)).reshape(n, -1, 1)
+    top = jnp.take_along_axis(flat, idx_top, axis=1)
+    bot = jnp.take_along_axis(flat, idx_top + wp, axis=1)
+    patches = jnp.stack([top, bot], axis=2)              # (N, P, 2, 2C)
     return patches.reshape(idx_shape + (2, 2, c))
 
 
