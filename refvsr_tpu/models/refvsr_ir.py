@@ -137,6 +137,9 @@ class RefVSRIRNet(nn.Module):
     rap = RefVSRNet.rap
     compute_up = RefVSRNet.compute_up
     _finalize = RefVSRNet._finalize
+    _tail = RefVSRNet._tail
+    _tail_tiled = RefVSRNet._tail_tiled
+    _TAIL_TILE_THRESHOLD = RefVSRNet._TAIL_TILE_THRESHOLD
 
     def encode_refs(self, refs):
         """Batched over time (IR windows are small — 270p inputs; the plain
