@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""Per-component wall-clock profile of the RefVSR streaming step on the real
+chip. Each component is jitted separately (fast compiles) at the true
+flagship-8K shapes, so we can see where the per-frame time goes without
+waiting for the 30-min full-graph compile.
+
+Usage: python scripts/profile_stream.py [--size HxW] [--part NAME ...]
+Parts: spynet_pair matching prop_step tail full
+
+NOTE on sync (docs/ROUND1_NOTES.md): on the tunneled axon backend
+block_until_ready() returns before execution finishes; every timing loop
+chains a scalar accumulator and forces ONE device->host transfer at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _cache():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def timeit(name, fn, *args, iters=6, warmup=2):
+    """fn must return something summable to a scalar chain."""
+    acc = jnp.zeros((), jnp.float32)
+    for _ in range(warmup):
+        acc = acc + fn(*args)
+    float(acc)
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = acc + fn(*args)
+    assert float(acc) == float(acc)
+    dt = (time.perf_counter() - t0) / iters * 1000.0
+    print(f"{name:28s} {dt:10.2f} ms")
+    return dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", default="1080x1920")
+    p.add_argument("--part", action="append", default=None)
+    p.add_argument("--blocks", type=int, default=30)
+    p.add_argument("--mid", type=int, default=48)
+    a = p.parse_args()
+    h, w = (int(v) for v in a.size.split("x"))
+    parts = a.part or ["spynet_pair", "matching", "prop_step", "tail", "full"]
+
+    _cache()
+    from refvsr_tpu.models.refvsr import RefVSRNet, init_stream_state
+
+    dtype = jnp.bfloat16
+    mid, blocks, t = a.mid, a.blocks, 7
+    net = RefVSRNet(scale=4, num_blocks=blocks, mid_channels=mid,
+                    matching_ksize=8, flag_HD_in=True)
+    key = jax.random.PRNGKey(0)
+
+    # init small, reuse param shapes
+    si = 64
+    lrs_i = jax.random.uniform(key, (1, t, si, si * 2, 3), jnp.float32)
+    params = net.init(key, lrs_i, lrs_i,
+                      init_stream_state(1, si, si * 2, mid, num_frames=t))
+    from refvsr_tpu.utils.precision import cast_floating
+    params = cast_floating(params, dtype)
+
+    img = lambda *s: jax.random.uniform(key, s, dtype)
+
+    if "spynet_pair" in parts:
+        @jax.jit
+        def spy(params, r, s):
+            f = net.apply(params, r, s,
+                          method=lambda m, r, s: m.flow_net(r, s))
+            return jnp.sum(f.astype(jnp.float32))
+        timeit("spynet 1 pair (batch2)", spy, params,
+               img(2, h, w, 3), img(2, h, w, 3))
+
+    if "matching" in parts:
+        @jax.jit
+        def match(params, lr, ref):
+            c, i = net.apply(params, lr, ref,
+                             method=lambda m, lr, ref: m.feature_match(lr, ref))
+            return jnp.sum(c.astype(jnp.float32)) + jnp.sum(i.astype(jnp.float32))
+        timeit("matching x1 frame", match, params, img(1, h, w, 3),
+               img(1, h, w, 3))
+
+    if "prop_step" in parts:
+        def one_step(m, carry, x):
+            c, _ = m._prop_step("backward", False, carry, x)
+            return c
+        @jax.jit
+        def prop(params, carry, x):
+            c = net.apply(params, carry, x, method=one_step)
+            return jnp.sum(c[0].astype(jnp.float32))
+        carry = (img(1, h, w, mid), img(1, 2 * h, 2 * w, mid),
+                 img(1, h, w, 1))
+        # index lives on the matching feature grid: HD-in downscales lr by
+        # 1/(scale//2) then VGG:7 pools once more -> (h/4, w/4)
+        x = {"lr": img(1, h, w, 3), "ref": img(1, h, w, 3),
+             "conf": img(1, h, w, 1),
+             "index": jnp.zeros((1, (h // 4) * (w // 4)), jnp.int32),
+             "flow": img(1, h, w, 2)}
+        timeit("prop step (x5/frame)", prop, params, carry, x, iters=4)
+
+        # sub-pieces of the prop step
+        @jax.jit
+        def warps(params, feat, conf, up, flow):
+            from refvsr_tpu.ops.warp import warp
+            from refvsr_tpu.models.refvsr import _flow_up2
+            packed = warp(jnp.concatenate([feat, conf], -1), flow)
+            upw = warp(up, _flow_up2(flow))
+            return (jnp.sum(packed.astype(jnp.float32))
+                    + jnp.sum(upw.astype(jnp.float32)))
+        timeit("  warps only", warps, params, carry[0], carry[2], carry[1],
+               x["flow"])
+
+        @jax.jit
+        def resb(params, lr, feat):
+            f = net.apply(params, jnp.concatenate([lr, feat], -1),
+                          method=lambda m, z: m.backward_resblocks(z))
+            return jnp.sum(f.astype(jnp.float32))
+        timeit("  resblocks only", resb, params, x["lr"], carry[0])
+
+        @jax.jit
+        def enc(params, ref):
+            f, fd = net.apply(params, ref, method=lambda m, r: m.encode_ref(r))
+            return jnp.sum(f.astype(jnp.float32)) + jnp.sum(fd.astype(jnp.float32))
+        timeit("  encode_ref only", enc, params, x["ref"])
+
+        # DCE note: sum ALL carry outputs or XLA deletes the UP branch
+        @jax.jit
+        def prop_all(params, carry, x):
+            c = net.apply(params, carry, x, method=one_step)
+            return sum(jnp.sum(v.astype(jnp.float32)) for v in c)
+        timeit("prop step ALL outputs", prop_all, params, carry, x, iters=4)
+
+        @jax.jit
+        def rap_only(params, carry, x, rf, rfd):
+            out = net.apply(
+                params, x["lr"], x["ref"], x["conf"], carry[2], x["index"],
+                carry[0], carry[1], rfd, rf,
+                method=lambda m, *args: m.rap(*args))
+            return jnp.sum(out[0].astype(jnp.float32)) + jnp.sum(
+                out[1].astype(jnp.float32))
+        rf, rfd = img(1, h, w, mid), img(1, h // 2, w // 2, mid)
+        timeit("  rap only", rap_only, params, carry, x, rf, rfd, iters=4)
+
+    if "rap_parts" in parts:
+        from refvsr_tpu.models.refvsr import _up2_clamp, _flow_up2
+        conf = img(1, h, w, 1)
+        flow = img(1, h, w, 2)
+        idx = jnp.zeros((1, (h // 4) * (w // 4)), jnp.int32)
+        lr = img(1, h, w, 3)
+        lr_down = img(1, h // 2, w // 2, 3)
+        rf, rfd = img(1, h, w, mid), img(1, h // 2, w // 2, mid)
+        fp, fpu = img(1, h, w, mid), img(1, 2 * h, 2 * w, mid)
+
+        @jax.jit
+        def up2c(c):
+            return jnp.sum(_up2_clamp(c).astype(jnp.float32))
+        timeit("  up2 conf (C=1) x2/rap", up2c, conf)
+
+        @jax.jit
+        def fup(f):
+            return jnp.sum(_flow_up2(f).astype(jnp.float32))
+        timeit("  flow_up2 (C=2)", fup, flow)
+
+        @jax.jit
+        def lrd(x):
+            return jnp.sum(jnp.clip(
+                resize_half(x), 0.0, 1.0).astype(jnp.float32))
+        from refvsr_tpu.ops.resize import resize as _rs
+        resize_half = lambda x: _rs(x, scale_factor=0.5, mode="bicubic",
+                                    align_corners=False)
+        timeit("  lr_down bicubic (C=3)", lrd, lr)
+
+        @jax.jit
+        def aa1_only(params, lr_down, ref, idx, rfd):
+            o = net.apply(params, lr_down, ref, idx, rfd,
+                          method=lambda m, *a: m.aa1(*a))
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("  aa1 (gather+fold)", aa1_only, params, lr_down, lr, idx, rfd)
+
+        @jax.jit
+        def aa2_gather(params, lr, ref, idx, rf):
+            o = net.apply(params, lr, ref, idx, rf,
+                          method=lambda m, a, b, c, d: m.aa2(a, b, c, d,
+                                                             return_fm=True))
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("  aa2 gather+fold only", aa2_gather, params, lr, lr, idx, rf)
+
+        @jax.jit
+        def aa2_full(params, lr, ref, idx, rf):
+            o = net.apply(params, lr, ref, idx, rf,
+                          method=lambda m, *a: m.aa2(*a))
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("  aa2 full (align conv)", aa2_full, params, lr, lr, idx, rf)
+
+        @jax.jit
+        def lvl2_convs(params, fp, fpu):
+            def run(m, fp, fpu):
+                up = m.upsample1(fp)
+                f = m.feat_fusion2_1(jnp.concatenate([fpu, up], -1))
+                cat = jnp.concatenate([f, fpu], -1)
+                f = f + m._seq2(m.feat_fusion2, cat)
+                return m.feat_decoder2(f)
+            o = net.apply(params, fp, fpu, method=run)
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("  level2 convs (2x grid)", lvl2_convs, params, fp, fpu,
+               iters=4)
+
+        @jax.jit
+        def lvl1_convs(params, fp, conf, rfd_al):
+            def run(m, fp, conf, rfd_al):
+                cat = jnp.concatenate([fp, rfd_al], -1)
+                alpha = m._seq2(m.conf_fusion, jnp.concatenate([conf, conf], -1))
+                f = fp + alpha * m._seq2(m.feat_fusion, cat)
+                return m.feat_decoder(f)
+            o = net.apply(params, fp, conf, rfd_al, method=run)
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("  level1 convs (1x grid)", lvl1_convs, params, fp, conf, fp)
+
+    if "tail" in parts:
+        @jax.jit
+        def tail(params, feat):
+            o = net.apply(params, feat, method=lambda m, f: m._tail_tiled(f))
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("tail (2x grid -> 8K)", tail, params,
+               img(1, 2 * h, 2 * w, mid), iters=3)
+
+    if "full" in parts:
+        state = init_stream_state(1, h, w, mid, dtype, num_frames=t)
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def step(params, lrs, refs, state):
+            out, ns, _ = net.apply(params, lrs, refs, state,
+                                   method=RefVSRNet.forward_stream)
+            return jnp.sum(out.astype(jnp.float32)), ns
+        def run(params, lrs, refs):
+            nonlocal state
+            s, state = step(params, lrs, refs, state)
+            return s
+        timeit("FULL stream step", run, params, img(1, t, h, w, 3),
+               img(1, t, h, w, 3), iters=3, warmup=1)
+
+
+if __name__ == "__main__":
+    main()
