@@ -42,8 +42,33 @@ def scaled_kaiming_normal_init(scale: float = 0.1):
     return init
 
 
+class _ConvParams(nn.Module):
+    """Parameter container matching nn.Conv's tree ('kernel', 'bias') so
+    checkpoint key mapping is identical whichever compute path runs."""
+    shape: tuple  # (kh, kw, cin, o)
+    use_bias: bool
+    kernel_init: Callable
+    bias_bound: float
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.shape)
+        b = None
+        if self.use_bias:
+            bound = self.bias_bound
+            b = self.param("bias",
+                           lambda key, s, d=jnp.float32:
+                           jax.random.uniform(key, s, d, -bound, bound),
+                           (self.shape[-1],))
+        return k, b
+
+
 class Conv2d(nn.Module):
-    """torch-style conv: square kernel, padding = k//2 (or explicit), bias."""
+    """torch-style conv: square kernel, padding = k//2 (or explicit), bias.
+
+    stride > 1 runs through ops/conv.blocked_strided_conv (space-to-depth
+    lowering; XLA's native strided conv is ~15x off its floor on v5e for the
+    shapes used here). Identical numerics and param tree."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -56,15 +81,20 @@ class Conv2d(nn.Module):
         p = self.kernel_size // 2 if self.padding is None else self.padding
         fan_in_shape = x.shape[-1] * self.kernel_size * self.kernel_size
         bound = float(np.sqrt(1.0 / fan_in_shape))
-        return nn.Conv(
-            self.features, (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            bias_init=(lambda k, s, d=jnp.float32:
-                       jax.random.uniform(k, s, d, -bound, bound)),
-            name="conv")(x)
+        kernel, bias = _ConvParams(
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+            self.use_bias, self.kernel_init, bound, name="conv")()
+        kernel = kernel.astype(x.dtype)
+        if self.stride > 1:
+            from refvsr_tpu.ops.conv import blocked_strided_conv
+            return blocked_strided_conv(x, kernel, bias, self.stride, p)
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+        if bias is not None:
+            out = out + bias.astype(x.dtype)
+        return out
 
 
 def lrelu(x, slope):

@@ -69,22 +69,24 @@ def modulated_deform_conv(x, offset, mask, weight, bias, deform_groups: int):
     x0 = jnp.floor(sx)
     wy = sy - y0
     wx = sx - x0
+    # ring canvas + ONE quad row gather per tap (see ops/warp.py): anchors in
+    # [-1, S-1] read exact zeros one step outside; fully-outside taps are
+    # masked below (zero-padding semantics of the mmcv CUDA kernel)
     y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)
     x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1)
 
-    # one 2x2xC patch gather per tap (see ops/warp.py for why this is exact
-    # for zero-padding semantics and ~6x faster than row gathers on TPU)
-    from refvsr_tpu.ops.warp import gather_bilinear_patches
-    patches = gather_bilinear_patches(xg, y0i, x0i)  # (n*dg,h,w,ntaps,2,2,cg)
+    from refvsr_tpu.ops.warp import build_corner_canvas, gather_corners
+    canvas = build_corner_canvas(xg, ring=True)
+    v00, v01, v10, v11 = gather_corners(canvas, y0i, x0i)
 
-    w00 = ((1 - wy) * (1 - wx))[..., None].astype(x.dtype)
-    w01 = ((1 - wy) * wx)[..., None].astype(x.dtype)
-    w10 = (wy * (1 - wx))[..., None].astype(x.dtype)
-    w11 = (wy * wx)[..., None].astype(x.dtype)
-    sampled = (patches[..., 0, 0, :] * w00 + patches[..., 0, 1, :] * w01
-               + patches[..., 1, 0, :] * w10 + patches[..., 1, 1, :] * w11)
+    dt = x.dtype
+    w00 = ((1 - wy) * (1 - wx))[..., None].astype(dt)
+    w01 = ((1 - wy) * wx)[..., None].astype(dt)
+    w10 = (wy * (1 - wx))[..., None].astype(dt)
+    w11 = (wy * wx)[..., None].astype(dt)
+    sampled = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
     valid = ((y0 >= -1.0) & (y0 <= h - 1.0) & (x0 >= -1.0) & (x0 <= w - 1.0))
-    sampled = jnp.where(valid[..., None], sampled, jnp.zeros((), x.dtype))
+    sampled = jnp.where(valid[..., None], sampled, jnp.zeros((), dt))
 
     m = mask.reshape(n, h, w, dg, ntaps).transpose(0, 3, 1, 2, 4).reshape(
         n * dg, h, w, ntaps)

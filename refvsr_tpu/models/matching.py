@@ -157,11 +157,21 @@ def affine_bilinear_gather(xp, p_row, p_col):
     """Bilinear sampling with the reference's clamped-corner semantics
     (alignment.py:62-89): corners q are clamped into the canvas independently
     of the weights, so when the lt corner sits on the last row/col the rb
-    corner re-reads the SAME row/col — a deliberate boundary double-count we
-    reproduce via clamp-selected corners of a single 2x2xC patch gather.
+    corner re-reads the SAME row/col — a deliberate boundary double-count.
+    Gathering each corner at its OWN clamped coordinate reproduces this
+    exactly (the collapsed rb gather lands on the clamped lt pixel).
+
+    ONE quad-canvas row gather per tap (see ops/warp.py — row-count bound),
+    anchored at the clamped lt corner; clamp collapses (rb == lt on either
+    axis, at either canvas edge) are reproduced exactly by transferring the
+    collapsed corner's weight onto the corner it lands on. The canvas is
+    built once, OUTSIDE the chunk scan (round 1 rebuilt it per chunk:
+    180 ms -> ~50 ms at the 544x960 2x-grid shapes).
 
     xp: (N, Hp, Wp, C) already-padded canvas; p_row/p_col: (N, ...) f32."""
-    hp, wp = xp.shape[1], xp.shape[2]
+    from refvsr_tpu.ops.warp import build_corner_canvas, gather_corners
+
+    n, hp, wp, c = xp.shape
     lt_row = jnp.floor(p_row)
     lt_col = jnp.floor(p_col)
     rb_row, rb_col = lt_row + 1, lt_col + 1
@@ -178,34 +188,36 @@ def affine_bilinear_gather(xp, p_row, p_col):
     g_lb = (1 + (lt_row_c - p_row_c)) * (1 - (rb_col_c - p_col_c))
     g_rt = (1 - (rb_row_c - p_row_c)) * (1 + (lt_col_c - p_col_c))
 
-    from refvsr_tpu.ops.warp import gather_bilinear_patches
+    # collapse handling: the quad gather reads (lt, lt+1) on each axis; when
+    # the reference's independent clamp makes rb land ON lt, route rb/lb/rt
+    # weight to the corner actually read. Verified against all 4 cases.
+    cx = (rb_col_c == lt_col_c).astype(g_lt.dtype)
+    cy = (rb_row_c == lt_row_c).astype(g_lt.dtype)
+    w00 = g_lt + cx * g_lb + cy * g_rt + cx * cy * g_rb
+    w01 = (1 - cx) * (g_lb + cy * g_rb)
+    w10 = (1 - cy) * (g_rt + cx * g_rb)
+    w11 = (1 - cx) * (1 - cy) * g_rb
 
-    def weighted(idx_y, idx_x, sel_y, sel_x, w_lt, w_rb, w_lb, w_rt):
-        patches = gather_bilinear_patches(xp, idx_y, idx_x)
-        # rb collapses onto lt when clamping bites on EITHER side (lt at the
-        # last row/col, or lt < 0 so rb clamps to 0 == clamped lt)
-        sel_y = sel_y[..., None]
-        sel_x = sel_x[..., None]
-        v00 = patches[..., 0, 0, :]
-        v01 = jnp.where(sel_x, v00, patches[..., 0, 1, :])
-        v10 = jnp.where(sel_y, v00, patches[..., 1, 0, :])
-        v11 = jnp.where(sel_y, v01,
-                        jnp.where(sel_x, v10, patches[..., 1, 1, :]))
-        return (v00 * w_lt[..., None].astype(xp.dtype)
-                + v11 * w_rb[..., None].astype(xp.dtype)
-                + v01 * w_lb[..., None].astype(xp.dtype)
-                + v10 * w_rt[..., None].astype(xp.dtype))
+    canvas = build_corner_canvas(xp, ring=False)
+    dt = xp.dtype
+
+    def weighted(ltr, ltc, w00, w01, w10, w11):
+        v00, v01, v10, v11 = gather_corners(canvas, ltr, ltc)
+        return (v00 * w00[..., None].astype(dt)
+                + v01 * w01[..., None].astype(dt)
+                + v10 * w10[..., None].astype(dt)
+                + v11 * w11[..., None].astype(dt))
 
     args = (lt_row_c.astype(jnp.int32), lt_col_c.astype(jnp.int32),
-            rb_row_c == lt_row_c, rb_col_c == lt_col_c,
-            g_lt, g_rb, g_lb, g_rt)
+            w00, w01, w10, w11)
 
-    n = xp.shape[0]
     idx_shape = p_row.shape
     total = int(np.prod(idx_shape[1:]))
-    chunk_elems = 1 << 20  # bound the padded patch temp (see ops/warp.py)
+    # bound the gathered corner temps; 2M rows -> the 544x960-scale call runs
+    # unchunked (each chunk pays ~15 ms fixed gather cost on top of ~10 ns/row)
+    chunk_elems = 2 << 20
     if n * total <= chunk_elems:
-        return weighted(*args)
+        return weighted(*args).reshape(idx_shape + (c,))
 
     per = max(1, chunk_elems // n)
     num_chunks = -(-total // per)
@@ -218,8 +230,6 @@ def affine_bilinear_gather(xp, p_row, p_col):
         return a.reshape(n, num_chunks, per).transpose(1, 0, 2)
 
     stacked = tuple(prep(a) for a in args)
-
-    c = xp.shape[-1]
 
     def step(_, xs):
         # flattened chunks avoid the C->128 lane padding on the stacked output

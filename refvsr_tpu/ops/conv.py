@@ -1,0 +1,64 @@
+"""Strided-conv lowering that keeps the MXU busy (NHWC).
+
+XLA's TPU lowering of a k x k / stride-s conv with s > 1 is poor for the
+shapes this model hits (measured: AlignedConv2d's 5x5/stride-8 'p_conv' took
+33 ms at (1088, 1920, 64) on v5e — ~15x over its flop/bandwidth floor).
+
+``blocked_strided_conv`` rewrites it exactly: zero-pad the kernel to a
+multiple of s, space-to-depth the input by s (channels become s*s*C), and run
+a stride-1 K' x K' conv with K' = ceil(k/s) — for k <= s that is a single
+1x1 conv, i.e. one dense [OH*OW, s*s*C] x [s*s*C, O] MXU matmul. The extra
+zero-channel FLOPs are negligible next to the lowering win.
+
+Numerically identical to lax.conv (same taps, matmul-reassociated sums).
+"""
+
+from __future__ import annotations
+
+import jax.lax as lax
+import jax.numpy as jnp
+
+
+def blocked_strided_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                         bias: jnp.ndarray | None, stride: int,
+                         pad: int) -> jnp.ndarray:
+    """x: (N, H, W, C); kernel: (kh, kw, C, O) HWIO; symmetric padding `pad`.
+    Output matches torch Conv2d: OH = (H + 2*pad - kh)//stride + 1."""
+    n, h, w, c = x.shape
+    kh, kw, _, o = kernel.shape
+    s = stride
+    oh = (h + 2 * pad - kh) // s + 1
+    ow = (w + 2 * pad - kw) // s + 1
+    kp_h = -(-kh // s)
+    kp_w = -(-kw // s)
+
+    # window for output (i, j) covers padded rows [s*i, s*i + kh - 1] —
+    # blocks i .. i + kp_h - 1 after the top/left pad of `pad`.
+    hp = s * (oh + kp_h - 1)
+    wp = s * (ow + kp_w - 1)
+    # bottom/right may be negative (input rows beyond the last window start
+    # are unused when k <= s): crop instead of pad
+    bh, bw = hp - h - pad, wp - w - pad
+    if bh < 0:
+        x, bh = x[:, :bh], 0
+    if bw < 0:
+        x, bw = x[:, :, :bw], 0
+    xp = jnp.pad(x, [(0, 0), (pad, bh), (pad, bw), (0, 0)])
+    xb = xp.reshape(n, oh + kp_h - 1, s, ow + kp_w - 1, s, c)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, oh + kp_h - 1, ow + kp_w - 1, s * s * c)
+
+    # scatter the kernel into block-phase channels: pad to (kp*s, kp*s) then
+    # regroup rows as (block a, phase r)
+    kpad = jnp.pad(kernel, [(0, kp_h * s - kh), (0, kp_w * s - kw),
+                            (0, 0), (0, 0)])
+    wk = kpad.reshape(kp_h, s, kp_w, s, c, o).transpose(0, 2, 1, 3, 4, 5)
+    wk = wk.reshape(kp_h, kp_w, s * s * c, o)
+
+    out = lax.conv_general_dilated(
+        xb, wk, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out

@@ -12,17 +12,17 @@ The reference uses two *different* warpers (a real parity landmine):
    Unnormalized flow, ``align_corners=True`` + ``padding_mode='border'``:
    ``src = i + f`` with clamped taps.  Used inside SPyNet only.
 
-Performance: the four bilinear corners are fetched with ONE ``lax.gather`` of
-2x2xC patches from a zero-ring-padded canvas instead of four row gathers —
-6-7x faster on TPU (XLA row-gather throughput is the bottleneck of the whole
-streaming step otherwise; measured 325ms -> 48ms for the 2x-grid feature warp
-at 4K). The zero ring makes the one-off out-of-range corner reads exact:
-
-  * zeros padding: a corner one step outside the image must contribute 0 —
-    the ring provides it; coordinates beyond the ring mean BOTH corners on
-    that axis are outside, so the whole sample is masked to 0.
-  * border padding: coordinates are pre-clamped into [0, S-1], so the +1
-    corner can only land on the ring when its bilinear weight is exactly 0.
+Performance: XLA row-gather cost on TPU is ROW-COUNT bound (~20 ns/row at
+these shapes, nearly independent of row width — each random row read costs
+whole (16,128) lane-tiles regardless), so the winning formulation packs ALL
+FOUR bilinear corners into one fat row: a pixel-QUAD canvas
+(x[h,w] ++ x[h,w+1] ++ x[h+1,w] ++ x[h+1,w+1] -> 4C lanes) + ONE
+``take_along_axis`` row gather. Measured at the 2x-grid feature-warp shape
+(2.1M pixels, C=48, bf16, v5e): quad 42 ms, pair-canvas 2-gather 57 ms,
+canvas-free 4-gather 298 ms, lax.gather of (2,2C) slices 3273 ms (tiny-slice
+layout padding). The quad canvas costs 4x the source in HBM, so above
+``_QUAD_CANVAS_BYTES`` we drop to the pair canvas (2 gathers, 2x memory) —
+the 8K stream path is HBM-constrained on 16 GB chips.
 """
 
 from __future__ import annotations
@@ -31,64 +31,90 @@ import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
+_QUAD_CANVAS_BYTES = 1536 << 20
 
-def gather_bilinear_patches(x: jnp.ndarray, y0i: jnp.ndarray, x0i: jnp.ndarray):
-    """Fetch 2x2xC corner patches at integer top-left coords (y0i, x0i).
 
-    x: (N, H, W, C) UNPADDED; y0i/x0i: (N, ...) int32 in [-1, H-1]/[-1, W-1]
-    (callers clamp). Returns (N, ..., 2, 2, C).
+def _shift_left(x, axis):
+    """x shifted one step along axis, zero-filled at the end."""
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, 1)
+    return jnp.pad(lax.slice_in_dim(x, 1, x.shape[axis], axis=axis), pads)
 
-    Formulation notes (all three alternatives measured on v5e):
-      * 4 independent row gathers: slow (XLA row-gather throughput bound).
-      * one lax.gather of (2,2,C) slices: fast, but XLA tiles the operand and
-        output over the tiny slice dims — 2.7-5.3x padded layouts, ~12 GB of
-        HLO temps at 8K.
-      * THIS: a pixel-pair canvas (x[w] ++ x[w+1] -> 2C channels) turns each
-        corner ROW into one full-minor-dim row gather — TPU's gather fast
-        path, clean (row, 2C) layouts, 2 gathers total."""
+
+def build_corner_canvas(x: jnp.ndarray, ring: bool):
+    """Precompute the gather table for 4-corner bilinear fetches.
+
+    x: (N, H, W, C). ring=True adds a one-pixel zero ring (grid_sample-style:
+    anchors may lie in [-1, H-1]/[-1, W-1] and one-step-outside corners read
+    exact zeros). Build this ONCE outside any chunk loop — round 1 measured
+    180 ms/call when the canvas was rebuilt inside every scan chunk.
+
+    Returns an opaque tuple for gather_corners."""
     n, h, w, c = x.shape
+    if ring:
+        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    else:
+        xp = x
+    hp, wp = xp.shape[1], xp.shape[2]
+    quad_ok = 4 * hp * wp * c * xp.dtype.itemsize * n <= _QUAD_CANVAS_BYTES
+    pair = jnp.concatenate([xp, _shift_left(xp, 2)], -1)          # 2C
+    if quad_ok:
+        quad = jnp.concatenate([pair, _shift_left(pair, 1)], -1)  # 4C
+        flat = quad.reshape(n, hp * wp, 4 * c)
+    else:
+        flat = pair.reshape(n, hp * wp, 2 * c)
+    return (flat, quad_ok, wp, c, 1 if ring else 0)
+
+
+def gather_corners(canvas, y0i: jnp.ndarray, x0i: jnp.ndarray):
+    """Fetch the 4 bilinear corners anchored at integer (y0i, x0i) from a
+    prebuilt canvas. Returns (v00, v01, v10, v11), each (N, ..., C): values
+    at (y0, x0), (y0, x0+1), (y0+1, x0), (y0+1, x0+1)."""
+    flat, quad_ok, wp, c, ring_off = canvas
+    n = flat.shape[0]
     idx_shape = y0i.shape
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
-    hp, wp = h + 2, w + 2
-    shifted = jnp.pad(xp[:, :, 1:], [(0, 0), (0, 0), (0, 1), (0, 0)])
-    pair = jnp.concatenate([xp, shifted], axis=-1)       # (N, Hp, Wp, 2C)
-    flat = pair.reshape(n, hp * wp, 2 * c)
+    idx = ((y0i + ring_off) * wp + (x0i + ring_off)).reshape(n, -1, 1)
+    if quad_ok:
+        rows = jnp.take_along_axis(flat, idx, axis=1)
+        rows = rows.reshape(idx_shape + (4, c))
+        return (rows[..., 0, :], rows[..., 1, :],
+                rows[..., 2, :], rows[..., 3, :])
+    top = jnp.take_along_axis(flat, idx, axis=1).reshape(idx_shape + (2, c))
+    bot = jnp.take_along_axis(flat, idx + wp, axis=1).reshape(
+        idx_shape + (2, c))
+    return (top[..., 0, :], top[..., 1, :], bot[..., 0, :], bot[..., 1, :])
 
-    idx_top = ((y0i + 1) * wp + (x0i + 1)).reshape(n, -1, 1)
-    top = jnp.take_along_axis(flat, idx_top, axis=1)
-    bot = jnp.take_along_axis(flat, idx_top + wp, axis=1)
-    patches = jnp.stack([top, bot], axis=2)              # (N, P, 2, 2C)
-    return patches.reshape(idx_shape + (2, 2, c))
 
-
-# output pixels above which the warp runs in row chunks: the patch-gather
-# intermediate carries a ~2.7x tiled-layout padding on TPU (bf16[P,2,2,48]),
-# which at 8K scale would be a multi-GB HLO temp. Chunking bounds it.
+# output pixels above which the warp runs in row chunks (bounds the gathered
+# corner temps at 8K scale to ~chunk * 4C elements).
 _WARP_CHUNK_PIXELS = 1 << 21
 
 
-def _bilinear_sample_chunk(x, sx, sy, padding):
-    n, h, w, c = x.shape
+def _bilinear_sample_chunk(canvas, h, w, dt, sx, sy, padding):
+    """canvas: prebuilt ring corner canvas; sx/sy: (N, ...) f32 coords."""
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     tx = sx - x0
     ty = sy - y0
+    # zeros mode: the ring supplies exact zeros for one-step-outside corners;
+    # anchors beyond [-1, S-1] mean both corners on that axis are outside and
+    # the whole sample is masked below. border mode: coords pre-clamped, so
+    # the +1 corner only exits the image with weight exactly 0.
     x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)
 
-    patches = gather_bilinear_patches(x, y0i, x0i)
+    v00, v01, v10, v11 = gather_corners(canvas, y0i, x0i)
 
-    w00 = ((1.0 - ty) * (1.0 - tx))[..., None].astype(x.dtype)
-    w01 = ((1.0 - ty) * tx)[..., None].astype(x.dtype)
-    w10 = (ty * (1.0 - tx))[..., None].astype(x.dtype)
-    w11 = (ty * tx)[..., None].astype(x.dtype)
-    out = (patches[..., 0, 0, :] * w00 + patches[..., 0, 1, :] * w01
-           + patches[..., 1, 0, :] * w10 + patches[..., 1, 1, :] * w11)
+    w00 = ((1.0 - ty) * (1.0 - tx))[..., None].astype(dt)
+    w01 = ((1.0 - ty) * tx)[..., None].astype(dt)
+    w10 = (ty * (1.0 - tx))[..., None].astype(dt)
+    w11 = (ty * tx)[..., None].astype(dt)
+    out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
 
     if padding == "zeros":
         valid = ((y0 >= -1.0) & (y0 <= h - 1.0)
                  & (x0 >= -1.0) & (x0 <= w - 1.0))
-        out = jnp.where(valid[..., None], out, jnp.zeros((), x.dtype))
+        out = jnp.where(valid[..., None], out, jnp.zeros((), dt))
     return out
 
 
@@ -103,8 +129,9 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
         sx = jnp.clip(sx, 0.0, w - 1.0)
         sy = jnp.clip(sy, 0.0, h - 1.0)
 
+    canvas = build_corner_canvas(x, ring=True)
     if n * ho * wo <= _WARP_CHUNK_PIXELS:
-        return _bilinear_sample_chunk(x, sx, sy, padding)
+        return _bilinear_sample_chunk(canvas, h, w, x.dtype, sx, sy, padding)
 
     rows_per = max(1, _WARP_CHUNK_PIXELS // (n * wo))
     num_chunks = -(-ho // rows_per)
@@ -117,7 +144,7 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
 
     def step(_, coords):
         cx, cy = coords
-        out = _bilinear_sample_chunk(x, cx, cy, padding)
+        out = _bilinear_sample_chunk(canvas, h, w, x.dtype, cx, cy, padding)
         # flatten: a stacked (..., wo, C) scan output would carry the C->128
         # lane padding (2.67x HBM at C=48); 1-D chunks tile cleanly
         return None, out.reshape(n, rows_per * wo * c)

@@ -233,6 +233,102 @@ def main():
             return jnp.sum(o.astype(jnp.float32))
         timeit("  level1 convs (1x grid)", lvl1_convs, params, fp, conf, fp)
 
+    if "warp_parts" in parts:
+        from refvsr_tpu.ops.warp import warp as _warp
+        from refvsr_tpu.models.refvsr import _flow_up2 as _fu2
+        feat = img(1, h, w, mid)
+        conf = img(1, h, w, 1)
+        up = img(1, 2 * h, 2 * w, mid)
+        flow = img(1, h, w, 2)
+
+        @jax.jit
+        def wfeat(f, c, fl):
+            packed = _warp(jnp.concatenate([f, c], -1), fl)
+            return jnp.sum(packed.astype(jnp.float32))
+        timeit("  warp feat+conf (49ch, 1x)", wfeat, feat, conf, flow)
+
+        @jax.jit
+        def wfeat48(f, fl):
+            return jnp.sum(_warp(f, fl).astype(jnp.float32))
+        timeit("  warp feat (48ch, 1x)", wfeat48, feat, flow)
+
+        @jax.jit
+        def wup(u, fl):
+            return jnp.sum(_warp(u, _fu2(fl)).astype(jnp.float32))
+        timeit("  warp UP (48ch, 2x grid)", wup, up, flow)
+
+        @jax.jit
+        def canvas_build(x):
+            xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+            shifted = jnp.pad(xp[:, :, 1:], [(0, 0), (0, 0), (0, 1), (0, 0)])
+            pair = jnp.concatenate([xp, shifted], axis=-1)
+            return jnp.sum(pair.astype(jnp.float32))
+        timeit("  UP pair-canvas build", canvas_build, up)
+
+    if "aligned_parts" in parts:
+        # true aa2 shapes at HD-in: canvas (2h,2w,mid), query lr (h,w,3),
+        # warped ref (2h,2w,3); align_conv kernel=8, stride=8
+        from refvsr_tpu.ops.resize import resize as _rs2
+        from refvsr_tpu.models.blocks import lrelu as _lrelu
+        canvas = img(1, 2 * h, 2 * w, mid)
+        qlr = img(1, h, w, 3)
+        wref = img(1, 2 * h, 2 * w, 3)
+
+        @jax.jit
+        def q_resize(q):
+            return jnp.sum(_rs2(q, scale_factor=2, mode="bicubic",
+                                align_corners=False).astype(jnp.float32))
+        timeit("  AC query 2x bicubic", q_resize, qlr)
+
+        @jax.jit
+        def heads(params, q2, r):
+            def run(m, q2, r):
+                return m.aa2.align_conv._head(q2), m.aa2.align_conv._head(r)
+            a, b = net.apply(params, q2, r, method=run)
+            return jnp.sum(a.astype(jnp.float32)) + jnp.sum(b.astype(jnp.float32))
+        timeit("  AC heads (2x grid, C=32)", heads, params, wref, wref)
+
+        @jax.jit
+        def pconv(params, a):
+            def run(m, a):
+                x = _lrelu(m.aa2.align_conv.p_conv_0(a), 0.2)
+                x = _lrelu(m.aa2.align_conv.p_conv_res(x), 0.2)
+                return m.aa2.align_conv.p_conv_out(x)
+            o = net.apply(params, a, method=run)
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("  AC p_conv (stride-8 5x5)", pconv, params,
+               img(1, 2 * h, 2 * w, 64))
+
+        from refvsr_tpu.models.matching import affine_bilinear_gather
+        ks = 8
+        gh, gw = (2 * h) // ks, (2 * w) // ks
+        p_row = jax.random.uniform(key, (1, gh, gw, ks * ks), jnp.float32,
+                                   0.0, 2.0 * h)
+        p_col = jax.random.uniform(key, (1, gh, gw, ks * ks), jnp.float32,
+                                   0.0, 2.0 * w)
+        xp = jnp.pad(canvas, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect")
+
+        @jax.jit
+        def agather(xp, pr, pc):
+            return jnp.sum(
+                affine_bilinear_gather(xp, pr, pc).astype(jnp.float32))
+        timeit("  AC affine gather", agather, xp, p_row, p_col, iters=4)
+
+        @jax.jit
+        def reassemble(o):
+            o6 = o.reshape(1, gh, gw, ks, ks, mid).transpose(0, 1, 3, 2, 4, 5)
+            return jnp.sum(
+                o6.reshape(1, gh * ks, gw * ks, mid).astype(jnp.float32))
+        timeit("  AC 6-D transpose", reassemble,
+               img(1, gh, gw, ks * ks * mid))
+
+        @jax.jit
+        def reflectpad(x):
+            return jnp.sum(jnp.pad(
+                x, [(0, 0), (1, 1), (1, 1), (0, 0)],
+                mode="reflect").astype(jnp.float32))
+        timeit("  AC reflect pad", reflectpad, canvas)
+
     if "tail" in parts:
         @jax.jit
         def tail(params, feat):
