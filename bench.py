@@ -60,6 +60,15 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
 
     import functools
 
+    # give the state warm-shaped matching caches so the timed loop runs the
+    # production streaming graph (one fresh matching/frame); zero values are
+    # fine — the cache is fully real after t - t//2 steps, and compiling
+    # forward_first at this size just to warm it would double compile time
+    tt = t - t // 2
+    state = state.replace(
+        conf_tail=jnp.zeros((n, tt, h, w, 1), dtype),
+        index_tail=jnp.zeros((n, tt, (h // 4) * (w // 4)), jnp.int32))
+
     @functools.partial(jax.jit, donate_argnums=(3, 4))
     def step(params, lrs, refs, state, acc):
         out, new_state, _ = net.apply(params, lrs, refs, state,

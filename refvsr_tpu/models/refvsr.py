@@ -51,13 +51,22 @@ class StreamState:
     window_i's pairs shifted by one plus ONE new pair — identical values at
     1/(t-1) the SPyNet cost. The shift property also holds at clip edges
     because frame indices are clamped to the same bounds on both windows
-    (datasets.py:233-234)."""
+    (datasets.py:233-234).
+
+    conf_tail/index_tail cache feature-matching results for the tail frames
+    (center..t-1 — the only frames the streaming path matches,
+    RefVSR.py:198-202) by the same shift property: one fresh matching per
+    streamed frame instead of t-t//2. None (e.g. a state built by
+    init_stream_state for training or the dryrun) => forward_stream matches
+    all tail frames fresh."""
     feat_prop: jnp.ndarray       # (N, h, w, C)
     feat_prop_up: jnp.ndarray    # (N, 2h, 2w, C)
     conf_prop: jnp.ndarray       # (N, h, w, 1)
     flow: jnp.ndarray            # (N, h, w, 2)
     flows_fwd: jnp.ndarray       # (N, T-1, h, w, 2)
     flows_bwd: jnp.ndarray       # (N, T-1, h, w, 2)
+    conf_tail: jnp.ndarray | None = None   # (N, T-T//2, h, w, 1)
+    index_tail: jnp.ndarray | None = None  # (N, T-T//2, L) int32
 
 
 def init_stream_state(n: int, h: int, w: int, mid_channels: int,
@@ -447,7 +456,8 @@ class RefVSRNet(nn.Module):
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
             conf_prop=fw_carry[2], flow=fwd_flows[:, t // 2],
-            flows_fwd=fwd_flows, flows_bwd=bwd_flows)
+            flows_fwd=fwd_flows, flows_bwd=bwd_flows,
+            conf_tail=confs[:, t // 2:], index_tail=indices[:, t // 2:])
         return out, new_state, (bw_carry[2], fw_carry[2], confs[:, t // 2])
 
     def _shift_cached_flows(self, lrs, state: StreamState):
@@ -472,10 +482,17 @@ class RefVSRNet(nn.Module):
         n, t = lrs.shape[:2]
         center = t // 2
         fwd_flows, bwd_flows = self._shift_cached_flows(lrs, state)
-        # only frames >= center are matched/encoded (RefVSR.py:198-202)
-        tail_lrs = lrs[:, center:]
-        tail_refs = refs[:, center:]
-        confs, indices = self.compute_matching(tail_lrs, tail_refs)
+        # only frames >= center are matched/encoded (RefVSR.py:198-202); with
+        # a warm cache only the NEWEST frame needs fresh matching (shift
+        # property, see StreamState docstring)
+        if state.conf_tail is not None:
+            new_conf, new_index = self.compute_matching(
+                lrs[:, -1:], refs[:, -1:])
+            confs = jnp.concatenate([state.conf_tail[:, 1:], new_conf], 1)
+            indices = jnp.concatenate([state.index_tail[:, 1:], new_index], 1)
+        else:
+            confs, indices = self.compute_matching(lrs[:, center:],
+                                                   refs[:, center:])
 
         bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
                                          center)
@@ -486,7 +503,8 @@ class RefVSRNet(nn.Module):
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
             conf_prop=fw_carry[2], flow=fwd_flows[:, center],
-            flows_fwd=fwd_flows, flows_bwd=bwd_flows)
+            flows_fwd=fwd_flows, flows_bwd=bwd_flows,
+            conf_tail=confs, index_tail=indices)
         return out, new_state, (bw_carry[2], fw_carry[2], confs[:, 0])
 
     def __call__(self, lrs, refs, state: StreamState):

@@ -72,6 +72,30 @@ def test_eval_first_then_stream(train_setup):
     assert out2.shape == (N, 4 * H, 4 * W, 3)
     assert np.isfinite(np.asarray(out2)).all()
     assert state2.feat_prop.shape == state.feat_prop.shape
+    assert state2.conf_tail.shape == (N, T - T // 2) + state.conf_tail.shape[2:]
+
+
+def test_stream_matching_cache_matches_fresh(train_setup):
+    """forward_stream with the warm conf/index cache must equal the
+    cache-less path (conf_tail=None recomputes every tail matching)."""
+    net, params, _, _, _ = train_setup
+    key = jax.random.PRNGKey(2)
+    frames_lr = jax.random.uniform(key, (N, T + 2, H, W, 3))
+    frames_ref = jax.random.uniform(jax.random.PRNGKey(3),
+                                    (N, T + 2, H, W, 3))
+    _, state, _ = net.apply(params, frames_lr[:, :T], frames_ref[:, :T],
+                            method=RefVSRNet.forward_first)
+    for s in range(1, 3):
+        lrs = frames_lr[:, s:s + T]
+        refs = frames_ref[:, s:s + T]
+        out_c, state_c, _ = net.apply(params, lrs, refs, state,
+                                      method=RefVSRNet.forward_stream)
+        cold = state.replace(conf_tail=None, index_tail=None)
+        out_f, _, _ = net.apply(params, lrs, refs, cold,
+                                method=RefVSRNet.forward_stream)
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_f),
+                                   atol=1e-6)
+        state = state_c
 
 
 def test_tiled_argmax_matches_dense(rng):
