@@ -376,13 +376,16 @@ class TrainLoader:
         return per_rank // self.batch_size
 
     def __iter__(self):
+        from refvsr_tpu.data.loader import _sample_rng
         g = np.random.default_rng(self.seed + self.epoch)
         order = g.permutation(len(self.ds))
         order = order[self.rank::self.world_size]
-        rng = random.Random(self.seed * 7919 + self.epoch)
         batch = []
         for idx in order:
-            batch.append(self.ds.__getitem__(int(idx), rng=rng))
+            # per-(seed, epoch, index) rng: identical augmentation draws in
+            # the single-thread and any-worker-count loaders
+            batch.append(self.ds.__getitem__(
+                int(idx), rng=_sample_rng(self.seed, self.epoch, int(idx))))
             if len(batch) == self.batch_size:
                 yield collate(batch)
                 batch = []

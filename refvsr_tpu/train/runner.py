@@ -31,8 +31,16 @@ class Runner:
         self.trainer = Trainer(config, mesh=mesh)
         self.train_ds = TrainDataset(config)
         self.valid_ds = TestDataset(config, is_valid=True)
-        self.loader = TrainLoader(self.train_ds, config.batch_size,
-                                  seed=config.manual_seed)
+        if getattr(config, "thread_num", 0) and config.thread_num > 0:
+            # persistent worker pool (FastDataLoader parity); identical
+            # batches to TrainLoader for any worker count (per-sample rng)
+            from refvsr_tpu.data.loader import MultiWorkerLoader
+            self.loader = MultiWorkerLoader(
+                self.train_ds, config.batch_size, seed=config.manual_seed,
+                num_workers=config.thread_num)
+        else:
+            self.loader = TrainLoader(self.train_ds, config.batch_size,
+                                      seed=config.manual_seed)
         self.ckpt = CkptManager(
             os.path.join(config.log_dir, "checkpoint", "train", "epoch"),
             config.mode, max_files_to_keep=config.max_ckpt_num)
