@@ -47,10 +47,27 @@ class Runner:
         Path(config.log_dir).mkdir(parents=True, exist_ok=True)
         save_config(config, os.path.join(config.log_dir, "config",
                                          "config.json"))
+        self._snapshot_sources()
         self._tb = None
         self.ts: TrainState | None = None
         self.loss_params = None
         self.epoch0 = 0
+
+    def _snapshot_sources(self):
+        """Copy the model/trainer sources into the log dir at train start
+        (trainers/trainer.py:41-43 parity) so a run's code is reconstructable."""
+        import shutil
+
+        import refvsr_tpu.models.refvsr as m_refvsr
+        import refvsr_tpu.models.refvsr_ir as m_ir
+        import refvsr_tpu.train.trainer as m_trainer
+        dst = Path(self.config.log_dir) / "source_snapshot"
+        dst.mkdir(parents=True, exist_ok=True)
+        for mod in (m_refvsr, m_ir, m_trainer):
+            try:
+                shutil.copy2(mod.__file__, dst / os.path.basename(mod.__file__))
+            except OSError:
+                pass
 
     @property
     def tb(self):
