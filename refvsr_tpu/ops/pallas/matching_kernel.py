@@ -51,14 +51,24 @@ def _kernel(l_ref_total, tile_ref, lr_block, ref_block, val_out, idx_out):
     idx_out[0] = jnp.where(upd, tile_arg, idx_out[0])
 
 
-@functools.partial(jax.jit, static_argnames=("tile_lr", "tile_ref",
-                                             "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def pallas_argmax_matmul(ref_p, lr_p, tile_lr: int = 256, tile_ref: int = 512,
                          interpret: bool = False):
     """ref_p: (B, L_ref, D); lr_p: (B, L_lr, D) — both L2-normalized.
     Returns (conf (B, L_lr) f32, index (B, L_lr) int32).
 
-    D is zero-padded to a lane multiple (zero columns don't change dots);
+    Differentiable: conf = max_r <ref_p[r], lr_p>, so the cotangent flows to
+    the argmax row only — d lr_p = g * ref_p[idx] (gather), d ref_p =
+    scatter-add of g * lr_p at idx (first-occurrence argmax matches torch.max
+    tie behavior, so gradients match the dense reference too)."""
+    return _pallas_argmax_impl(ref_p, lr_p, tile_lr, tile_ref, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_lr", "tile_ref",
+                                             "interpret"))
+def _pallas_argmax_impl(ref_p, lr_p, tile_lr: int = 256, tile_ref: int = 512,
+                        interpret: bool = False):
+    """D is zero-padded to a lane multiple (zero columns don't change dots);
     L_lr is zero-padded to tile_lr (extra rows discarded); L_ref is padded to
     tile_ref and masked inside the kernel."""
     b, l_ref, d = ref_p.shape
@@ -100,3 +110,22 @@ def pallas_argmax_matmul(ref_p, lr_p, tile_lr: int = 256, tile_ref: int = 512,
         interpret=interpret,
     )(lr_p, ref_p)
     return val[:, :l_lr, 0], idx[:, :l_lr, 0]
+
+
+def _pallas_argmax_fwd(ref_p, lr_p, tile_lr, tile_ref, interpret):
+    conf, idx = _pallas_argmax_impl(ref_p, lr_p, tile_lr, tile_ref, interpret)
+    return (conf, idx), (ref_p, lr_p, idx)
+
+
+def _pallas_argmax_bwd(tile_lr, tile_ref, interpret, res, g):
+    ref_p, lr_p, idx = res
+    g_conf = g[0].astype(jnp.float32)           # idx cotangent is float0
+    sel = jnp.take_along_axis(ref_p, idx[..., None], axis=1)
+    d_lr = (g_conf[..., None] * sel.astype(jnp.float32)).astype(lr_p.dtype)
+    contrib = g_conf[..., None] * lr_p.astype(jnp.float32)
+    d_ref = jnp.zeros(ref_p.shape, jnp.float32)
+    d_ref = jax.vmap(lambda dr, i, c: dr.at[i].add(c))(d_ref, idx, contrib)
+    return d_ref.astype(ref_p.dtype), d_lr
+
+
+pallas_argmax_matmul.defvjp(_pallas_argmax_fwd, _pallas_argmax_bwd)
