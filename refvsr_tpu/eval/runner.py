@@ -12,7 +12,6 @@ import os
 import time
 from pathlib import Path
 
-import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 

@@ -16,7 +16,6 @@ channel-mean centering across the whole ref set exactly like the reference."""
 from __future__ import annotations
 
 import re
-from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ Module/parameter naming is chosen so the torch->jax checkpoint converter
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import flax.linen as nn
 import jax

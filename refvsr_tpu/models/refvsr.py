@@ -26,8 +26,6 @@ graph."""
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import flax.struct
 import jax

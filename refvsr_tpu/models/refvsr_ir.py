@@ -35,12 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from refvsr_tpu.models.blocks import (
-    BasicBlock, Conv2d, PixelShufflePack, ResidualBlocksWithInputConv, ResList,
-    lrelu)
+    BasicBlock, Conv2d, PixelShufflePack, ResidualBlocksWithInputConv, ResList)
 from refvsr_tpu.models.edvr import EDVRFeatureExtractor
 from refvsr_tpu.models.matching import AlignedAttention, FeatureMatching
 from refvsr_tpu.models.refvsr import (RefVSRNet, StreamState, _flow_up2,
-                                      _up2_clamp, init_stream_state)
+                                      init_stream_state)
 from refvsr_tpu.models.spynet import SPyNet
 from refvsr_tpu.ops.resize import resize
 from refvsr_tpu.ops.warp import warp

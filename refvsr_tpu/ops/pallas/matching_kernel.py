@@ -18,9 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(l_ref_total, tile_ref, lr_block, ref_block, val_out, idx_out):

@@ -17,10 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from refvsr_tpu.configs import Config, save_config
-from refvsr_tpu.data.datasets import TestDataset, TrainDataset, TrainLoader, \
-    collate
+from refvsr_tpu.data.datasets import TestDataset, TrainDataset, TrainLoader
 from refvsr_tpu.eval.stream import StreamRunner
-from refvsr_tpu.losses import psnr as psnr_fn
 from refvsr_tpu.train.ckpt import CkptManager
 from refvsr_tpu.train.trainer import TrainState, Trainer
 

@@ -29,7 +29,7 @@ import optax
 from refvsr_tpu.configs import Config
 from refvsr_tpu.losses import LossModule
 from refvsr_tpu.models.refvsr import RefVSRNet, StreamState, init_stream_state
-from refvsr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from refvsr_tpu.parallel.mesh import replicate, shard_batch
 from refvsr_tpu.train import schedule as schedules
 
 

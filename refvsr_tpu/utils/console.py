@@ -7,7 +7,6 @@ no cursor tricks — friendlier to log files and CI)."""
 from __future__ import annotations
 
 import sys
-import time
 
 _CODES = {"red": 31, "green": 32, "yellow": 33, "blue": 34, "cyan": 36}
 
