@@ -63,28 +63,77 @@ class _ConvParams(nn.Module):
         return k, b
 
 
+# Width-packing of conv CHAINS: measured 1.39x on isolated 30-block chains
+# at (544, 960, 48) on v5e, but NET-NEGATIVE at the flagship 8K scale
+# (W=1920: full-8K bench 0.0947 -> 0.0857 fps) and within noise at 544p
+# full-step level — the packed conv doubles FLOPs and the win only exists
+# where lane underutilization dominates. OFF by default; kept (with exact-
+# equivalence tests) as groundwork for narrower-frame deployments.
+WIDTH_PACK_CHAINS = False
+
+
+def width_pack(x, f: int = 2):
+    """(N, H, W, C) -> (N, H, W/f, f*C): fold f adjacent pixels into lanes."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // f, f * c)
+
+
+def width_unpack(x, f: int = 2):
+    n, h, wf, fc = x.shape
+    return x.reshape(n, h, wf * f, fc // f)
+
+
+def pack_conv_kernel(kernel, f: int):
+    """(k, k, Ci, Co) -> (k, k, f*Ci, f*Co): the exact 3x3 'same' conv on the
+    width-packed layout. Output phase p tap dx reads packed column
+    (p + dx) // f phase (p + dx) % f — a fixed block scatter of the original
+    taps (zeros elsewhere). Measured on v5e: f=2 runs resblock CHAINS 1.39x
+    faster at C=48 (96 lanes at half width beat 48 lanes; the extra zero
+    FLOPs are covered by better MXU/relayout behavior)."""
+    kk, _, ci, co = kernel.shape
+    kp = jnp.zeros((kk, kk, f * ci, f * co), kernel.dtype)
+    half = kk // 2
+    for p in range(f):
+        for dx in range(-half, half + 1):
+            col = p + dx
+            dxp = (col + f) // f - 1
+            q = (col + f) % f
+            kp = kp.at[:, dxp + half, q * ci:(q + 1) * ci,
+                       p * co:(p + 1) * co].add(kernel[:, dx + half])
+    return kp
+
+
 class Conv2d(nn.Module):
     """torch-style conv: square kernel, padding = k//2 (or explicit), bias.
 
     stride > 1 runs through ops/conv.blocked_strided_conv (space-to-depth
     lowering; XLA's native strided conv is ~15x off its floor on v5e for the
-    shapes used here). Identical numerics and param tree."""
+    shapes used here). packed=f>1 computes the SAME conv on a width-packed
+    (N, H, W/f, f*C) tensor via pack_conv_kernel (chain modules use this).
+    Identical numerics and param tree in all modes."""
     features: int
     kernel_size: int = 3
     stride: int = 1
     padding: int | None = None
     use_bias: bool = True
     kernel_init: Callable = torch_conv_kernel_init
+    packed: int = 1
 
     @nn.compact
     def __call__(self, x):
         p = self.kernel_size // 2 if self.padding is None else self.padding
-        fan_in_shape = x.shape[-1] * self.kernel_size * self.kernel_size
+        cin = x.shape[-1] // self.packed
+        fan_in_shape = cin * self.kernel_size * self.kernel_size
         bound = float(np.sqrt(1.0 / fan_in_shape))
         kernel, bias = _ConvParams(
-            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+            (self.kernel_size, self.kernel_size, cin, self.features),
             self.use_bias, self.kernel_init, bound, name="conv")()
         kernel = kernel.astype(x.dtype)
+        if self.packed > 1:
+            assert self.stride == 1 and p == self.kernel_size // 2
+            kernel = pack_conv_kernel(kernel, self.packed)
+            if bias is not None:
+                bias = jnp.tile(bias, self.packed)
         if self.stride > 1:
             from refvsr_tpu.ops.conv import blocked_strided_conv
             return blocked_strided_conv(x, kernel, bias, self.stride, p)
@@ -120,26 +169,34 @@ class ResBlock(nn.Module):
     """conv3x3 -> LeakyReLU(0.2) -> conv3x3, residual (common.py:25-39)."""
     features: int
     res_scale: float = 1.0
+    packed: int = 1
 
     @nn.compact
     def __call__(self, x):
-        out = Conv2d(self.features, 3, name="conv1")(x)
+        out = Conv2d(self.features, 3, packed=self.packed, name="conv1")(x)
         out = lrelu(out, 0.2)
-        out = Conv2d(self.features, 3, name="conv2")(out)
+        out = Conv2d(self.features, 3, packed=self.packed, name="conv2")(out)
         return out * self.res_scale + x
 
 
 class ResList(nn.Module):
-    """num_blocks ResBlocks + conv_tail, outer residual (common.py:64-82)."""
+    """num_blocks ResBlocks + conv_tail, outer residual (common.py:64-82).
+    Runs width-packed x2 when W is even (exact; see pack_conv_kernel)."""
     num_blocks: int
     features: int
 
     @nn.compact
     def __call__(self, x):
+        f = 2 if (WIDTH_PACK_CHAINS and x.shape[-2] % 2 == 0
+                  and self.num_blocks >= 8) else 1
         x1 = x
+        if f > 1:
+            x = width_pack(x, f)
         for i in range(self.num_blocks):
-            x = ResBlock(self.features, name=f"RBs_{i}")(x)
-        x = Conv2d(self.features, 3, name="conv_tail")(x)
+            x = ResBlock(self.features, packed=f, name=f"RBs_{i}")(x)
+        x = Conv2d(self.features, 3, packed=f, name="conv_tail")(x)
+        if f > 1:
+            x = width_unpack(x, f)
         return x + x1
 
 
@@ -148,27 +205,37 @@ class ResidualBlockNoBN(nn.Module):
     (sr_backbone_utils.py:42-97)."""
     features: int
     res_scale: float = 1.0
+    packed: int = 1
 
     @nn.compact
     def __call__(self, x):
         init = scaled_kaiming_normal_init(0.1)
-        out = Conv2d(self.features, 3, kernel_init=init, name="conv1")(x)
+        out = Conv2d(self.features, 3, kernel_init=init, packed=self.packed,
+                     name="conv1")(x)
         out = nn.relu(out)
-        out = Conv2d(self.features, 3, kernel_init=init, name="conv2")(out)
+        out = Conv2d(self.features, 3, kernel_init=init, packed=self.packed,
+                     name="conv2")(out)
         return x + out * self.res_scale
 
 
 class ResidualBlocksWithInputConv(nn.Module):
-    """input conv + LeakyReLU(0.1) + N ResidualBlockNoBN (RefVSR.py:327-360)."""
+    """input conv + LeakyReLU(0.1) + N ResidualBlockNoBN (RefVSR.py:327-360).
+    Runs width-packed x2 when W is even (exact; see pack_conv_kernel)."""
     features: int
     num_blocks: int = 30
 
     @nn.compact
     def __call__(self, x):
-        x = Conv2d(self.features, 3, name="input_conv")(x)
+        f = 2 if (WIDTH_PACK_CHAINS and x.shape[-2] % 2 == 0) else 1
+        if f > 1:
+            x = width_pack(x, f)
+        x = Conv2d(self.features, 3, packed=f, name="input_conv")(x)
         x = lrelu(x, 0.1)
         for i in range(self.num_blocks):
-            x = ResidualBlockNoBN(self.features, name=f"block_{i}")(x)
+            x = ResidualBlockNoBN(self.features, packed=f,
+                                  name=f"block_{i}")(x)
+        if f > 1:
+            x = width_unpack(x, f)
         return x
 
 

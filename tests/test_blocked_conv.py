@@ -31,3 +31,23 @@ def test_blocked_matches_native(k, s, h, w, c, o, rng):
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_width_packed_conv_matches_direct(rng):
+    """pack_conv_kernel: the width-packed conv equals the direct 'same' conv
+    exactly (chain modules run packed when W is even)."""
+    import jax.lax as lax
+    from refvsr_tpu.models.blocks import pack_conv_kernel, width_pack, \
+        width_unpack
+    x = jnp.asarray(rng.standard_normal((2, 12, 20, 6)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 6, 10)) * 0.2, jnp.float32)
+    direct = lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    kp = pack_conv_kernel(k, 2)
+    packed = lax.conv_general_dilated(
+        width_pack(x, 2), kp, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = width_unpack(packed, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
