@@ -135,7 +135,13 @@ class FeatureMatching(nn.Module):
 
         ref_p = _l2_normalize(ref_p, axis=2)
         lr_p = _l2_normalize(lr_p, axis=2)
-        if _use_pallas_matching():
+        from refvsr_tpu.parallel.spatial import maybe_sharded_argmax
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        sharded = maybe_sharded_argmax(ref_p, lr_p, use_pallas=on_tpu)
+        if sharded is not None:
+            conf, index = sharded
+            conf = conf.astype(lr_p.dtype)
+        elif _use_pallas_matching():
             from refvsr_tpu.ops.pallas.matching_kernel import \
                 pallas_argmax_matmul
             conf, index = pallas_argmax_matmul(ref_p, lr_p)
@@ -307,8 +313,16 @@ class AlignedConv2d(nn.Module):
 
         # reflection pad the canvas (alignment.py:16,53-54)
         pad = self.padding
-        xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
-        out = affine_bilinear_gather(xp, p_row, p_col)
+        # static tap-displacement bound: |rot| <= sqrt(2)*(ks/2+0.5)*3
+        # (affine clipped to [-3,3]) plus the sub-block anchor span
+        min_halo = int(np.ceil(1.4143 * (ks / 2 + 0.5) * 3.0)) + self.stride
+        from refvsr_tpu.parallel.spatial import maybe_sharded_affine_gather
+        out = maybe_sharded_affine_gather(x, pad, p_row, p_col,
+                                          min_halo=min_halo)
+        if out is None:
+            xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+                         mode="reflect")
+            out = affine_bilinear_gather(xp, p_row, p_col)
 
         # (N, h, w, ks, ks, C) -> (N, h*ks, w*ks, C)  (alignment.py:172-178)
         c = x.shape[-1]

@@ -79,8 +79,14 @@ def gather_corners(canvas, y0i: jnp.ndarray, x0i: jnp.ndarray):
         rows = rows.reshape(idx_shape + (4, c))
         return (rows[..., 0, :], rows[..., 1, :],
                 rows[..., 2, :], rows[..., 3, :])
-    top = jnp.take_along_axis(flat, idx, axis=1).reshape(idx_shape + (2, c))
-    bot = jnp.take_along_axis(flat, idx + wp, axis=1).reshape(
+    # pair-canvas fallback: `idx + wp` walks one canvas row below the anchor,
+    # which exits the table when a ring=False caller anchors at the last row
+    # (the clamped-corner case affine_bilinear_gather relies on). OOB mode
+    # 'fill' would return NaN and NaN*0-weight poisons the output, so clip:
+    # the re-read bottom corners carry exactly-zero weight at the clamp.
+    top = jnp.take_along_axis(flat, idx, axis=1, mode="clip").reshape(
+        idx_shape + (2, c))
+    bot = jnp.take_along_axis(flat, idx + wp, axis=1, mode="clip").reshape(
         idx_shape + (2, c))
     return (top[..., 0, :], top[..., 1, :], bot[..., 0, :], bot[..., 1, :])
 
@@ -121,6 +127,13 @@ def _bilinear_sample_chunk(canvas, h, w, dt, sx, sy, padding):
 def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
                      padding: str) -> jnp.ndarray:
     """x: (N, H, W, C); sx/sy: (N, Ho, Wo) f32 source coords in pixel space."""
+    # under an active spatial-sharding ctx (multi-chip 8K stream) the gather
+    # runs shard-local with a ppermute halo exchange instead of letting GSPMD
+    # all-gather the canvas (see parallel/spatial.py)
+    from refvsr_tpu.parallel import spatial as _spatial
+    out = _spatial.maybe_sharded_sample(x, sx, sy, padding)
+    if out is not None:
+        return out
     n, h, w, c = x.shape
     ho, wo = sx.shape[1], sx.shape[2]
     sx = sx.astype(jnp.float32)

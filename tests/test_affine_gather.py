@@ -33,6 +33,27 @@ def _oracle(xp, p_row, p_col):
             + gv(rb_r_c, lt_c_c) * g_rt[..., None])
 
 
+def test_affine_gather_pair_canvas_boundary(rng, monkeypatch):
+    """The pair-canvas fallback (quad canvas over budget — the 8K path) must
+    not NaN-poison boundary-clamped anchors: its bottom-row gather walks one
+    canvas row past a last-row anchor and relies on mode='clip' (ADVICE r1)."""
+    import importlib
+    warp_mod = importlib.import_module("refvsr_tpu.ops.warp")
+    monkeypatch.setattr(warp_mod, "_QUAD_CANVAS_BYTES", 0)
+    xp = rng.standard_normal((2, 6, 7, 3)).astype(np.float32)
+    p_row = (rng.random((2, 4, 5)) * 9 - 2).astype(np.float32)
+    p_col = (rng.random((2, 4, 5)) * 10 - 2).astype(np.float32)
+    p_row[0, 0, 0] = 5.0   # exact last row -> bottom gather exits the canvas
+    p_col[0, 0, 1] = 6.0
+    p_row[0, 0, 2] = 7.5
+    p_row[0, 0, 3] = 5.9   # anchor floor == last row, fractional
+    got = affine_bilinear_gather(jnp.asarray(xp), jnp.asarray(p_row),
+                                 jnp.asarray(p_col))
+    assert np.isfinite(np.asarray(got)).all()
+    want = _oracle(xp, p_row, p_col)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
 def test_affine_gather_matches_reference_formula(rng):
     xp = rng.standard_normal((2, 6, 7, 3)).astype(np.float32)
     # coords spanning interior, boundaries (incl. exact last row/col -> the
