@@ -82,6 +82,14 @@ class Config:
     crop_valid_offset: int = 12
     thread_num: int = 4
 
+    # pretrained third-party assets loaded at model init (the reference loads
+    # ./ckpt/SPyNet.pytorch at RefVSR.py:27-29 / SPyNet.py:29-31 and
+    # torchvision VGG19 at attention.py:28-42 + models/loss/vgg.py:9-51;
+    # zero-egress here, so both come from local files). Missing files warn
+    # loudly: training then optimizes against random frozen flow/VGG features.
+    spynet_ckpt: Optional[str] = "./ckpt/SPyNet.pytorch"
+    vgg19_ckpt: Optional[str] = "./ckpt/VGG19.pytorch"
+
     # model (variants)
     scale: int = 4
     flag_HD_in: bool = False

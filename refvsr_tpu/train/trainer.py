@@ -99,6 +99,12 @@ class Trainer:
                                       hr.shape[2] * self.config.scale, 3),
                       hr.dtype)
         loss_params = self.loss_mod.init(k_loss, sr_example, hr, ref_frames)
+        # pretrained assets: frozen SPyNet + VGG19 for matching prefix & CX
+        # losses (reference loads them at model construction, RefVSR.py:27-31 +
+        # attention.py:28-42 + loss/vgg.py:9-51; warns loudly when absent)
+        from refvsr_tpu.utils.convert import load_pretrained_assets
+        params, loss_params, _ = load_pretrained_assets(
+            self.config, params, loss_params)
         opt_state = self.tx.init(params)
         return TrainState(params=params, opt_state=opt_state,
                           step=jnp.zeros((), jnp.int32)), loss_params

@@ -23,20 +23,34 @@ def _torch_key_for(path: tuple[str, ...], leaf_shape) -> str | None:
 
     Returns None for paths that have no torch counterpart (none currently)."""
     names = [p for p in path if p != "params"]
-    leaf = names.pop()  # 'kernel' | 'bias'
-    suffix = "weight" if leaf == "kernel" else "bias"
+    leaf = names.pop()  # 'kernel' | 'bias' | 'weight' (DCN direct param)
+    if leaf == "kernel":
+        suffix = "weight"
+    elif leaf in ("weight", "bias"):
+        suffix = leaf    # ModulatedDCNPack declares torch-named params
+    else:
+        suffix = "bias"
 
     under_flownet = names and names[0] == "FlowNet"
     out = []
-    for n in names:
+    for i, n in enumerate(names):
+        nxt = names[i + 1] if i + 1 < len(names) else None
         m_bm = re.fullmatch(r"basic_module_(\d+)", n)
         m_conv = re.fullmatch(r"conv_(\d+)", n)
         m_rb = re.fullmatch(r"RBs_(\d+)", n)
         m_blk = re.fullmatch(r"block_(\d+)", n)
         m_seq = re.fullmatch(r"(.+)_seq([01])", n)
         m_enc = re.fullmatch(r"ref_encoder([12])_([01])", n)
+        m_fe = re.fullmatch(r"feature_extraction_(\d+)", n)
+        m_lvl = re.fullmatch(r"(offset_conv\d|dcn_pack|feat_conv)_l(\d)", n)
 
-        if m_bm:  # SPyNet module list (SPyNet.py:26-27)
+        if m_fe:
+            # EDVR make_layer Sequential (RefVSR_IR.py:469-472)
+            out.append(f"feature_extraction.{m_fe.group(1)}")
+        elif m_lvl:
+            # PCDAlignment nn.ModuleDict keyed 'l{i}' (edvr_net.py:83-118)
+            out.append(f"{m_lvl.group(1)}.l{m_lvl.group(2)}")
+        elif m_bm:  # SPyNet module list (SPyNet.py:26-27)
             out.append(f"basic_module.{m_bm.group(1)}")
         elif n == "match0":
             # match0 was add_module'd INTO feature_extract under the name
@@ -82,7 +96,11 @@ def _torch_key_for(path: tuple[str, ...], leaf_shape) -> str | None:
         elif n == "p_conv_out":
             out.append("p_conv.4")
         elif n == "conv":
-            pass  # our Conv2d wrapper's inner nn.Conv
+            # our Conv2d wrapper's inner nn.Conv is transparent; a DOUBLED
+            # ('conv', 'conv') means the outer one is an mmcv ConvModule's
+            # explicit .conv submodule (edvr_net.py ConvModule usage) — keep it
+            if nxt == "conv":
+                out.append("conv")
         else:
             out.append(n)
 
@@ -169,6 +187,86 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         obj = obj["state_dict"]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in obj.items()}
+
+
+def load_spynet_weights(sd: Dict[str, np.ndarray], params_template,
+                        strict: bool = True):
+    """Fill every FlowNet subtree leaf from a standalone ``SPyNet.pytorch``
+    state_dict (mmedit layout: ``basic_module.{i}.basic_module.{j}.conv.
+    {weight,bias}`` — what /root/reference/models/archs/SPyNet.py:29-31 loads).
+    Returns (params, filled_leaf_count)."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    flat = jax.tree_util.tree_flatten_with_path(params_template)
+    filled, count, missing = {}, 0, []
+    for path, leaf in flat[0]:
+        names = tuple(getattr(p, "key", getattr(p, "name", str(p)))
+                      for p in path)
+        if "FlowNet" in names:
+            sub = names[names.index("FlowNet"):]
+            tkey = _torch_key_for(sub, np.shape(leaf))
+            rel = tkey[len("FlowNet."):]
+            if rel in sd:
+                w = np.asarray(sd[rel])
+                if w.ndim == 4:   # OIHW -> HWIO
+                    w = w.transpose(2, 3, 1, 0)
+                if w.shape != np.shape(leaf):
+                    raise ValueError(
+                        f"SPyNet shape mismatch for {rel}: torch {w.shape} "
+                        f"vs flax {np.shape(leaf)}")
+                filled[names] = w.astype(np.asarray(leaf).dtype)
+                count += 1
+                continue
+            missing.append(rel)
+        filled[names] = leaf
+    if strict and missing:
+        raise ValueError(f"SPyNet conversion incomplete: missing={missing}")
+    leaves = [filled[tuple(getattr(p, 'key', getattr(p, 'name', str(p)))
+                           for p in path)] for path, _ in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], leaves), count
+
+
+def load_pretrained_assets(config, params, loss_params=None):
+    """Wire the pretrained third-party weights the reference loads at model
+    construction: the frozen SPyNet flow net (RefVSR.py:27-29) and torchvision
+    VGG19 for both the matching prefix (attention.py:28-42) and the CX losses
+    (models/loss/vgg.py:9-51). Missing configured files WARN loudly — a run
+    then uses randomly-initialized frozen flow / VGG features, which trains
+    but cannot match reference quality.
+
+    Returns (params, loss_params, report dict)."""
+    import os
+    import warnings
+
+    report = {}
+    sp = getattr(config, "spynet_ckpt", None)
+    if sp and os.path.exists(sp):
+        params, n = load_spynet_weights(load_torch_checkpoint(sp), params)
+        report["spynet_leaves"] = n
+    else:
+        warnings.warn(
+            f"spynet_ckpt {sp!r} not found — the frozen flow network keeps "
+            "its RANDOM init (reference loads ./ckpt/SPyNet.pytorch at "
+            "models/archs/SPyNet.py:29-31). Place the converted file there "
+            "or set config.spynet_ckpt.", stacklevel=2)
+        report["spynet_leaves"] = 0
+
+    vg = getattr(config, "vgg19_ckpt", None)
+    if vg and os.path.exists(vg):
+        vsd = load_torch_checkpoint(vg)
+        params, n1 = load_vgg19_features(vsd, params)
+        report["vgg_net_leaves"] = n1
+        if loss_params is not None:
+            loss_params, n2 = load_vgg19_features(vsd, loss_params)
+            report["vgg_loss_leaves"] = n2
+    else:
+        warnings.warn(
+            f"vgg19_ckpt {vg!r} not found — matching prefix and CX-loss VGGs "
+            "keep their RANDOM init (reference uses pretrained torchvision "
+            "vgg19, attention.py:28-42 + models/loss/vgg.py:9-51).",
+            stacklevel=2)
+        report["vgg_net_leaves"] = 0
+    return params, loss_params, report
 
 
 def load_vgg19_features(vgg_sd: Dict[str, np.ndarray], params_template):
