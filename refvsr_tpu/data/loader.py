@@ -31,10 +31,10 @@ def _worker_main(ds, seed, task_q, result_q):
         task = task_q.get()
         if task is None:
             return
-        seq, epoch, idxs = task
+        gen, seq, epoch, idxs = task
         samples = [ds.__getitem__(int(i), rng=_sample_rng(seed, epoch, int(i)))
                    for i in idxs]
-        result_q.put((seq, collate(samples)))
+        result_q.put((gen, seq, collate(samples)))
 
 
 class MultiWorkerLoader:
@@ -56,6 +56,10 @@ class MultiWorkerLoader:
         self.prefetch = max(2, prefetch_batches)
         self.epoch = 0
         self._pool = None
+        # generation id: bumped per __iter__ so results left in flight by an
+        # abandoned iteration (e.g. Runner breaking at total_itr) can never
+        # collide with a later iteration's restarted seq numbering (ADVICE r1)
+        self._gen = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -105,6 +109,8 @@ class MultiWorkerLoader:
 
     def __iter__(self):
         self._ensure_pool()
+        self._gen += 1
+        gen = self._gen
         batches = list(self._batches())
         pending = {}
         next_submit = 0
@@ -113,13 +119,15 @@ class MultiWorkerLoader:
         while next_yield < len(batches):
             while (next_submit < len(batches)
                    and next_submit - next_yield < self.prefetch):
-                self._task_q.put((next_submit, epoch,
+                self._task_q.put((gen, next_submit, epoch,
                                   batches[next_submit].tolist()))
                 next_submit += 1
             waited = 0.0
             while next_yield not in pending:
                 try:
-                    seq, batch = self._result_q.get(timeout=5)
+                    r_gen, seq, batch = self._result_q.get(timeout=5)
+                    if r_gen != gen:   # stale result from an abandoned epoch
+                        continue
                     waited = 0.0
                 except queue_mod.Empty:
                     waited += 5.0

@@ -189,23 +189,33 @@ _FOV_KEYS = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
 
 
 def eval_quan_FOV(config: Config, max_frames=None):
-    """Masked PSNR/SSIM over center-FOV fractions (eval_quan_FOV.py:17-270).
+    """Masked PSNR/SSIM over center-FOV fractions (eval_quan_FOV.py:17-269).
     Masks: inside (center crop), outside (complement), ring (inside minus the
-    50% center)."""
+    50% center). Per-frame score lines (key==1.0) and the [TOTAL] block are
+    written in the reference's exact line format (eval_quan_FOV.py:196-200,
+    245-269) so score files diff cleanly; --is_debug stops after 3 frames and
+    skips file writes (eval_quan_FOV.py:66-69,198,268)."""
     trainer, ds, runner, save_root, score_root, ckpt_name = init_eval(config)
     t = config.frame_num
+    is_debug = config.EVAL.is_debug
 
     acc = {m: {k: 0.0 for k in _FOV_KEYS}
            for m in ("pfi", "pfo", "pfr", "sfi", "sfo", "sfr")}
     total_norm = 0
+    time_total = 0.0
+    first_write = True
     for i in range(len(ds)):
         if max_frames is not None and total_norm >= max_frames:
+            break
+        if is_debug and total_norm >= 3:
             break
         item = ds[i]
         if item.get("is_continue"):
             continue
+        t0 = time.time()
         sr, _ = runner.process(item["LR_UW"][None, :t],
                                item["LR_REF_W"][None, :t], item["is_first"])
+        itr_time = time.time() - t0
         out = sr[0]
         gt = item["HR_UW"][t // 2]
         if config.flag_HD_in:
@@ -233,24 +243,55 @@ def eval_quan_FOV(config: Config, max_frames=None):
                 sfr = ssim_masked(out, gt, mask_fr)
             else:
                 pfr = sfr = 0.0
+            if key == 1.0:
+                # per-frame line, format of eval_quan_FOV.py:196-200
+                line = (f"[EVAL {config.mode}|{config.EVAL.data}|"
+                        f"{item['video_name']}]"
+                        f"[{item['video_idx'] + 1}/{item['video_len']}]"
+                        f"[{item['frame_idx'] + 1}/{item['frame_len']}] "
+                        f"{item['frame_name']} PSNR: {pfi:.5f} "
+                        f"SSIM: {sfi:.5f} ({itr_time:.5f}sec)")
+                print(line)
+                if not is_debug:
+                    with open(_score_path(score_root, config),
+                              "w" if first_write else "a") as f:
+                        f.write(line + "\n")
+                    first_write = False
             for name, val in (("pfi", pfi), ("pfo", pfo), ("pfr", pfr),
                               ("sfi", sfi), ("sfo", sfo), ("sfr", sfr)):
                 acc[name][key] += val
+        time_total += itr_time
         total_norm += 1
 
     if total_norm == 0:
         return {}
     means = {m: {k: v / total_norm for k, v in d.items()}
              for m, d in acc.items()}
-    out_str = f"\n[TOTAL {ckpt_name}|{config.EVAL.data}]\n"
-    for label, m in (("PSNR-FOV_in", "pfi"), ("PSNR-FOV_out", "pfo"),
-                     ("PSNR-FOV_ring", "pfr"), ("SSIM-FOV_in", "sfi"),
-                     ("SSIM-FOV_out", "sfo"), ("SSIM-FOV_ring", "sfr")):
-        out_str += f"[{label:<13}] (" + ", ".join(
-            f"{k * 100:3.1f}%: {v:.5f}" for k, v in means[m].items()) + ")\n"
-    print(out_str)
-    with open(_score_path(score_root, config), "a") as f:
-        f.write(out_str)
+    time_mean = time_total / total_norm
+    # [TOTAL] block, exact format of eval_quan_FOV.py:245-265
+    out_str = f"\n[TOTAL {ckpt_name}|{config.EVAL.data}] \n[PSNR-FOV_in  ] ("
+    for k, v in means["pfi"].items():
+        out_str += f"0-{k * 100:3.1f}%: {v:.5f}, "
+    out_str += ")\n[PSNR-FOV_out ] ("
+    for k, v in means["pfo"].items():
+        out_str += f"{k * 100:3.1f}-100%: {v:.5f}, "
+    out_str += ")\n[PSNR-FOV_ring] ("
+    for k, v in means["pfr"].items():
+        out_str += f"{_FOV_KEYS[-1] * 100:3.1f}-{k * 100:3.1f}%: {v:.5f}, "
+    out_str += ")\n[SSIM-FOV_in  ] ("
+    for k, v in means["sfi"].items():
+        out_str += f"0-{k * 100:3.1f}%: {v:.5f}, "
+    out_str += ")\n[SSIM-FOV_out ] ("
+    for k, v in means["sfo"].items():
+        out_str += f"{k * 100:3.1f}-100%: {v:.5f}, "
+    out_str += ")\n[SSIM-FOV_ring] ("
+    for k, v in means["sfr"].items():
+        out_str += f"{_FOV_KEYS[-1] * 100:3.1f}-{k * 100:3.1f}%: {v:.5f}, "
+    out_str += f") ({time_mean:.5f}sec)\n\n"
+    print(out_str, end="")
+    if not is_debug:
+        with open(_score_path(score_root, config), "a") as f:
+            f.write(out_str)
     return means
 
 

@@ -5,8 +5,8 @@ The spec string format is kept verbatim: 'w1*TYPE1+w2*TYPE2', e.g.
 
 Supported types (all that the 8 shipped configs use, plus the basics):
   MSE, L1, L1_lf, FID_hr, FID_ref, FID_ref_X_mu, MFID_ref, MFID_ref_X_mu.
-CoBi and L1/L2-distance CX variants exist in the reference but are referenced by
-no shipped config; they raise NotImplementedError here with a pointer.
+The CoBi and L1/L2-distance CX variants (referenced by no shipped config) are
+also fully implemented — see contextual.py:80-143 and tests/test_losses.py.
 
 MFID semantics (Loss.py:114-123): the SR frame is matched against *all* ref
 frames seen so far in the sliding window — sr is broadcast to (b*t) and refs

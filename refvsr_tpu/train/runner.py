@@ -29,16 +29,21 @@ class Runner:
         self.trainer = Trainer(config, mesh=mesh)
         self.train_ds = TrainDataset(config)
         self.valid_ds = TestDataset(config, is_valid=True)
+        # multi-host: each controller process loads its own shard of the data
+        # (DistIterSampler parity, data_sampler.py:47-62); single-host runs see
+        # process_count()==1 -> whole dataset
+        world, rank = jax.process_count(), jax.process_index()
         if getattr(config, "thread_num", 0) and config.thread_num > 0:
             # persistent worker pool (FastDataLoader parity); identical
             # batches to TrainLoader for any worker count (per-sample rng)
             from refvsr_tpu.data.loader import MultiWorkerLoader
             self.loader = MultiWorkerLoader(
                 self.train_ds, config.batch_size, seed=config.manual_seed,
-                num_workers=config.thread_num)
+                world_size=world, rank=rank, num_workers=config.thread_num)
         else:
             self.loader = TrainLoader(self.train_ds, config.batch_size,
-                                      seed=config.manual_seed)
+                                      seed=config.manual_seed,
+                                      world_size=world, rank=rank)
         self.ckpt = CkptManager(
             os.path.join(config.log_dir, "checkpoint", "train", "epoch"),
             config.mode, max_files_to_keep=config.max_ckpt_num)
@@ -47,6 +52,7 @@ class Runner:
                                          "config.json"))
         self._snapshot_sources()
         self._tb = None
+        self._vis_fn = None
         self.ts: TrainState | None = None
         self.loss_params = None
         self.epoch0 = 0
@@ -162,6 +168,27 @@ class Runner:
                 break
         return self.ts
 
+    def _warped_ref_vis(self, item, t):
+        """'FW_aa2_fm_ref_aligned' sample tile (RefVSR.py:305): the ref image
+        warped onto the 2x canvas by the hard matching index map."""
+        try:
+            if self._vis_fn is None:
+                net = self.trainer.net
+
+                @jax.jit
+                def vis(params, lr, ref):
+                    def run(m, lr, ref):
+                        _, idx = m.feature_match(lr, ref)
+                        return m.aa2(lr, ref, idx, ref, return_fm=True)
+                    return net.apply(params, lr, ref, method=run)
+                self._vis_fn = vis
+            out = self._vis_fn(self.ts.params,
+                               jnp.asarray(item["LR_UW"][None, t // 2]),
+                               jnp.asarray(item["LR_REF_W"][None, t // 2]))
+            return np.asarray(out[0], np.float32)
+        except Exception:
+            return None
+
     def validate(self, max_items: int | None = None) -> float:
         """Streaming validation PSNR over the valid split (run.py:94-136)."""
         cfg = self.config
@@ -180,17 +207,37 @@ class Runner:
             item = self.valid_ds[i]
             if item.get("is_continue"):
                 continue
-            sr, _ = runner.process(item["LR_UW"][None, :t],
-                                   item["LR_REF_W"][None, :t],
-                                   item["is_first"])
+            sr, conf = runner.process(item["LR_UW"][None, :t],
+                                      item["LR_REF_W"][None, :t],
+                                      item["is_first"])
             gt = item["HR_UW"][t // 2]
             out = sr[0]
             if cfg.save_sample and i < 4:
-                # sample-image dumps (run.py:177-196 equivalent)
+                # sample-image dumps incl. confidence visualization tiles
+                # (run.py:177-196 + RefVSR.py:301-322 norm_res_vis parity)
                 from PIL import Image
+
+                def _norm_res_vis(m):
+                    m = m - m.min()
+                    return m / max(m.max(), 1e-12)
+
                 Path(sample_dir).mkdir(parents=True, exist_ok=True)
-                for tag, img in (("SR", out), ("HR", gt),
-                                 ("LR", item["LR_UW"][t // 2])):
+                conf_bw, conf_fw, conf_match = [
+                    np.asarray(c[0, ..., 0], np.float32) for c in conf]
+                tiles = [("SR", out), ("HR", gt),
+                         ("LR", item["LR_UW"][t // 2]),
+                         ("conf_map_norm", _norm_res_vis(conf_match)),
+                         ("conf_map_prop_backward_norm",
+                          _norm_res_vis(conf_bw)),
+                         ("conf_map_prop_forward_norm",
+                          _norm_res_vis(conf_fw)),
+                         ("conf_map_prop_norm",
+                          _norm_res_vis(np.maximum(conf_bw, conf_fw)))]
+                tiles.append(("FW_aa2_fm_ref_aligned",
+                              self._warped_ref_vis(item, t)))
+                for tag, img in tiles:
+                    if img is None:
+                        continue
                     Image.fromarray(
                         (np.clip(img, 0, 1) * 255).round().astype(np.uint8)
                     ).save(os.path.join(sample_dir, f"{i:03d}_{tag}.png"))

@@ -50,6 +50,14 @@ def build_parser():
     p.add_argument("--quantitative_only", action="store_true")
     p.add_argument("--vid_name", type=str, nargs="*", default=None)
     p.add_argument("--test_set", type=str, default="test")
+    p.add_argument("-is_debug", "--is_debug", action="store_true",
+                   help="debug mode: eval stops after 3 frames, no score file"
+                        " (reference run.py:378)")
+    # multi-device (torchrun --nproc_per_node equivalent: single-controller
+    # JAX shards the batch over a data mesh instead of spawning processes)
+    p.add_argument("--devices", type=int, default=None,
+                   help="number of devices for the data-parallel mesh "
+                        "(default: all visible; 1 disables the mesh)")
     return p
 
 
@@ -80,12 +88,38 @@ def build_config(args):
         load_ckpt_by_score=bool(args.ckpt_sc or args.ckpt_abs_name is None),
         qualitative_only=args.qualitative_only,
         quantitative_only=args.quantitative_only,
-        vid_name=args.vid_name, test_set=args.test_set)
+        vid_name=args.vid_name, test_set=args.test_set,
+        is_debug=args.is_debug)
     c = c.replace(EVAL=ev)
     c = set_data_path(c, is_train=args.is_train)
     if not args.is_train:
         c = set_data_path(c, is_train=True)  # valid paths for trainer init
     return c
+
+
+def _build_train_mesh(config, n_devices=None):
+    """Data-parallel mesh over the visible devices (DDP/torchrun equivalent,
+    reference run.py:209-216 + scripts_train/*.sh). Multi-host: initialize
+    the JAX distributed runtime when coordinator env vars are present; the
+    per-process data shard is handled by Runner via process_index/count."""
+    import jax
+
+    if os.environ.get("COORDINATOR_ADDRESS") or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized / single-process launch
+            print(f"# jax.distributed.initialize skipped: {e}",
+                  file=sys.stderr)
+    n = n_devices if n_devices is not None else len(jax.devices())
+    if n <= 1:
+        return None
+    if config.batch_size % n:
+        raise SystemExit(
+            f"batch_size {config.batch_size} not divisible by the "
+            f"{n}-device data mesh (pass -b or --devices)")
+    from refvsr_tpu.parallel.mesh import make_mesh
+    return make_mesh(n_data=n, devices=jax.devices()[:n])
 
 
 def main(argv=None):
@@ -96,17 +130,20 @@ def main(argv=None):
     np.random.seed(config.manual_seed)
 
     if args.is_train:
+        mesh = _build_train_mesh(config, args.devices)
         from refvsr_tpu.train.runner import Runner
-        runner = Runner(config)
+        runner = Runner(config, mesh=mesh)
         if args.resume is not None:
             runner.resume(int(args.resume))
         elif args.resume_abs is not None:
             runner.resume_abs(args.resume_abs)
         runner.train(max_epochs=args.max_epochs)
+        return runner
     else:
         from refvsr_tpu.eval.runner import evaluate
         summary = evaluate(config)
         print(summary)
+        return summary
 
 
 if __name__ == "__main__":

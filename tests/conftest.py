@@ -22,6 +22,26 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules dominated by full-network jit compiles (minutes each on the CPU
+# backend). `pytest -m "not slow"` is the <5 min inner loop; the full suite
+# (including these) is the round-boundary gate.
+_SLOW_MODULES = {
+    "test_train_e2e", "test_refvsr_net", "test_refvsr_ir", "test_parallel",
+    "test_spynet_parity", "test_matching_parity", "test_loader",
+    "test_cli_train", "test_pretrained_assets",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-network compile-heavy tests (round gate)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

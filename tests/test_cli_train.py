@@ -1,0 +1,68 @@
+"""CLI-level multi-device training: `run.py --is_train --devices 2` builds a
+data mesh and trains with the batch sharded over 2 of the 8 virtual CPU
+devices (reference counterpart: torchrun --nproc_per_node=N run.py --is_train,
+scripts_train/train_RefVSR_MFID.sh:4 + run.py:209-216)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def tiny_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mcvsr_cli")
+    for split in ("train", "valid"):
+        for sub, size in (("HR", 256), ("LRx2", 128), ("LRx4", 64)):
+            for cam in ("UW", "W", "T"):
+                d = root / "RealMCVSR" / split / sub / cam / "0000"
+                os.makedirs(d)
+                rng = np.random.default_rng(hash((split, sub, cam)) % 2 ** 31)
+                for i in range(4):
+                    Image.fromarray(
+                        rng.integers(0, 255, (size, size, 3),
+                                     dtype=np.uint8).astype(np.uint8)).save(
+                            d / f"{i:04d}.png")
+    return str(root)
+
+
+def test_cli_train_two_device_mesh(tiny_tree, monkeypatch):
+    import refvsr_tpu.configs as cfgs
+    import run as run_mod
+
+    real_get_config = cfgs.get_config
+
+    def tiny_get_config(name, **overrides):
+        overrides.update(num_blocks=2, mid_channels=8, frame_num=3,
+                         frame_itr_num=1, patch_size=16,
+                         spynet_ckpt=None, vgg19_ckpt=None)
+        return real_get_config(name, **overrides)
+
+    monkeypatch.setattr(cfgs, "get_config", tiny_get_config)
+
+    runner = run_mod.main([
+        "--is_train", "--mode", "RefVSR_MFID", "--data", "RealMCVSR",
+        "-b", "2", "-th", "0", "--devices", "2",
+        "--data_offset", tiny_tree,
+        "--log_offset", os.path.join(tiny_tree, "logs"),
+        "--max_epochs", "1", "--total_itr", "1",
+    ])
+    assert runner.trainer.mesh is not None
+    assert dict(runner.trainer.mesh.shape)["data"] == 2
+    assert int(runner.ts.step) >= 1
+
+
+def test_cli_train_batch_not_divisible_errors(tiny_tree, monkeypatch):
+    import refvsr_tpu.configs as cfgs
+    import run as run_mod
+    real_get_config = cfgs.get_config
+    monkeypatch.setattr(
+        cfgs, "get_config",
+        lambda name, **kw: real_get_config(
+            name, **{**kw, "spynet_ckpt": None, "vgg19_ckpt": None}))
+    with pytest.raises(SystemExit, match="not divisible"):
+        run_mod.main([
+            "--is_train", "--mode", "RefVSR_MFID", "-b", "3",
+            "--devices", "2", "--data_offset", tiny_tree,
+            "--log_offset", os.path.join(tiny_tree, "logs2")])

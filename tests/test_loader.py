@@ -59,6 +59,32 @@ def test_multiworker_matches_single_thread(train_ds):
         mw.close()
 
 
+def test_multiworker_abandoned_iteration_no_stale_batches(train_ds):
+    """Breaking out of an epoch mid-iteration (Runner's total_itr break) must
+    not let in-flight results from the old epoch collide with the next
+    iteration's seq numbering (ADVICE r1: generation-tagged results)."""
+    from refvsr_tpu.data.datasets import TrainLoader
+    from refvsr_tpu.data.loader import MultiWorkerLoader
+
+    ref = TrainLoader(train_ds, batch_size=1, seed=7)
+    mw = MultiWorkerLoader(train_ds, batch_size=1, seed=7, num_workers=2,
+                           prefetch_batches=4)
+    try:
+        # abandon epoch 0 after one batch, leaving prefetched results in flight
+        mw.set_epoch(0)
+        for batch in mw:
+            break
+        import time
+        time.sleep(0.5)  # let workers finish the abandoned prefetch tasks
+        b_ref = _collect(ref, 1)
+        b_mw = _collect(mw, 1)
+        assert len(b_ref) == len(b_mw)
+        for a, b in zip(b_ref, b_mw):
+            np.testing.assert_array_equal(a["LR_UW"], b["LR_UW"])
+    finally:
+        mw.close()
+
+
 def test_multiworker_worker_count_invariance(train_ds):
     from refvsr_tpu.data.loader import MultiWorkerLoader
     a = MultiWorkerLoader(train_ds, batch_size=2, seed=3, num_workers=1)
