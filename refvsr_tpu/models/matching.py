@@ -204,7 +204,11 @@ def affine_bilinear_gather(xp, p_row, p_col):
     w10 = (1 - cy) * (g_rt + cx * g_rb)
     w11 = (1 - cx) * (1 - cy) * g_rb
 
-    canvas = build_corner_canvas(xp, ring=False)
+    # pair canvas above 1.5 GB: with the stream-path RAP cache this gather
+    # runs once per frame, so the quad's ~8% win isn't worth a second
+    # multi-GB transient next to the per-step UP-warp quad (HBM headroom)
+    canvas = build_corner_canvas(xp, ring=False,
+                                 max_quad_bytes=1536 << 20)
     dt = xp.dtype
 
     def weighted(ltr, ltc, w00, w01, w10, w11):

@@ -56,7 +56,15 @@ class StreamState:
     RefVSR.py:198-202) by the same shift property: one fresh matching per
     streamed frame instead of t-t//2. None (e.g. a state built by
     init_stream_state for training or the dryrun) => forward_stream matches
-    all tail frames fresh."""
+    all tail frames fresh.
+
+    aligned_tail/aligned_up_tail cache the carry-INDEPENDENT half of the RAP
+    step for the tail frames: encode_ref + aa1 + aa2 (incl. the affine
+    gather) depend only on (lr, ref, index) of a frame, all of which are
+    identical every time the backward branch revisits it across overlapping
+    windows. Round-2 profile at 1080p HD-in: these are 834 ms of the 1888 ms
+    prop step — caching runs them once per streamed frame instead of
+    t//2 + 1 times. Exact (no approximation); ~1 GB/frame of HBM at 1080p."""
     feat_prop: jnp.ndarray       # (N, h, w, C)
     feat_prop_up: jnp.ndarray    # (N, 2h, 2w, C)
     conf_prop: jnp.ndarray       # (N, h, w, 1)
@@ -65,6 +73,8 @@ class StreamState:
     flows_bwd: jnp.ndarray       # (N, T-1, h, w, 2)
     conf_tail: jnp.ndarray | None = None   # (N, T-T//2, h, w, 1)
     index_tail: jnp.ndarray | None = None  # (N, T-T//2, L) int32
+    aligned_tail: jnp.ndarray | None = None     # (N, T-T//2, h, w, C)
+    aligned_up_tail: jnp.ndarray | None = None  # (N, T-T//2, 2h, 2w, C)
 
 
 def init_stream_state(n: int, h: int, w: int, mid_channels: int,
@@ -208,24 +218,59 @@ class RefVSRNet(nn.Module):
         fd = self.res2(self.ref_encoder2_1(self.ref_encoder2_0(f)))
         return f, fd
 
-    def rap(self, lr, ref, conf, conf_prop, index, feat_prop, feat_prop_up,
-            ref_feat_down, ref_feat):
-        """2-level Reference Alignment and Propagation (RefVSR.py:123-149)."""
+    def compute_aligned(self, lr, ref, index):
+        """The carry-independent half of RAP: encode the ref and align it at
+        both levels by the hard index map (RefVSR.py:123-144's aa1/aa2 calls
+        + the encode at :233-234). Depends only on (lr, ref, index) — in the
+        streaming path these are identical every time overlapping windows
+        revisit a frame, so the results are cached in StreamState."""
         lr_down = jnp.clip(resize(lr, scale_factor=0.5, mode="bicubic",
                                   align_corners=False), 0.0, 1.0)
+        ref_feat, ref_feat_down = self.encode_ref(ref)
+        aligned = self.aa1(lr_down, ref, index, ref_feat_down)
+        aligned_up = self.aa2(lr, ref, index, ref_feat)
+        return aligned, aligned_up
+
+    def compute_aligned_batched(self, lrs, refs, indices):
+        """compute_aligned over a (N, T, ...) window, batched as N*T."""
+        n, t = lrs.shape[:2]
+        a, au = self.compute_aligned(
+            lrs.reshape((n * t,) + lrs.shape[2:]),
+            refs.reshape((n * t,) + refs.shape[2:]),
+            indices.reshape((n * t,) + indices.shape[2:]))
+        return (a.reshape((n, t) + a.shape[1:]),
+                au.reshape((n, t) + au.shape[1:]))
+
+    def compute_aligned_scan(self, lrs, refs, indices):
+        """compute_aligned over a (N, T, ...) window via nn.scan — one frame
+        in flight (the batched variant's transients are ~N*T quad canvases,
+        too much HBM at 8K scale; outputs still stack to the cache shape)."""
+        def step(mdl, carry, x):
+            return carry, mdl.compute_aligned(x["lr"], x["ref"], x["index"])
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False})
+        xs = {"lr": jnp.moveaxis(lrs, 1, 0), "ref": jnp.moveaxis(refs, 1, 0),
+              "index": jnp.moveaxis(indices, 1, 0)}
+        _, (a, au) = scan(self, None, xs)
+        return jnp.moveaxis(a, 0, 1), jnp.moveaxis(au, 0, 1)
+
+    def rap(self, conf, conf_prop, feat_prop, feat_prop_up, aligned,
+            aligned_up):
+        """2-level Reference Alignment and Propagation (RefVSR.py:123-149),
+        the carry-dependent half; `aligned`/`aligned_up` come from
+        compute_aligned (fresh or cached)."""
         # level 1
-        ref_feat_aligned = self.aa1(lr_down, ref, index, ref_feat_down)
-        cat_features = jnp.concatenate([feat_prop, ref_feat_aligned], -1)
+        cat_features = jnp.concatenate([feat_prop, aligned], -1)
         alpha = self._seq2(self.conf_fusion,
                            jnp.concatenate([conf_prop, conf], -1))
         feat_prop = feat_prop + alpha * self._seq2(self.feat_fusion, cat_features)
         feat_prop = self.feat_decoder(feat_prop)
 
         # level 2
-        ref_feat_aligned_up = self.aa2(lr, ref, index, ref_feat)
         feat_prop_up = self.feat_fusion2_1(jnp.concatenate(
             [feat_prop_up, self.upsample1(feat_prop)], -1))
-        cat_features = jnp.concatenate([feat_prop_up, ref_feat_aligned_up], -1)
+        cat_features = jnp.concatenate([feat_prop_up, aligned_up], -1)
         conf_prop_up = _up2_clamp(conf_prop)
         conf_up = _up2_clamp(conf)
         alpha = self._seq2(self.conf_fusion2,
@@ -256,10 +301,14 @@ class RefVSRNet(nn.Module):
         resblocks = (self.backward_resblocks if branch == "backward"
                      else self.forward_resblocks)
         feat_prop = resblocks(jnp.concatenate([x["lr"], feat_prop], -1))
-        ref_feat, ref_feat_down = self.encode_ref(x["ref"])
+        if "aligned" in x:   # streaming path: cached carry-independent half
+            aligned, aligned_up = x["aligned"], x["aligned_up"]
+        else:
+            aligned, aligned_up = self.compute_aligned(x["lr"], x["ref"],
+                                                       x["index"])
         feat_prop, feat_prop_up, conf_prop = self.rap(
-            x["lr"], x["ref"], x["conf"], conf_prop, x["index"], feat_prop,
-            feat_prop_up, ref_feat_down, ref_feat)
+            x["conf"], conf_prop, feat_prop, feat_prop_up, aligned,
+            aligned_up)
         return (feat_prop, feat_prop_up, conf_prop), None
 
     def _scan_branch(self, branch, warp_up_from_low, carry, xs):
@@ -346,12 +395,16 @@ class RefVSRNet(nn.Module):
     # ---------------- entry points ----------------
 
     def _backward_branch(self, lrs, refs, backward_flows, confs, indices,
-                         frame_offset: int):
+                         frame_offset: int, aligneds=None, aligneds_up=None,
+                         aligned_offset: int | None = None):
         """Full backward branch over frames t-1 .. t//2 (RefVSR.py:210-238).
 
         All per-frame arrays here are indexed relative to `frame_offset` (the
         absolute index of their first entry) so the stream path can pass only
-        the frames it computed."""
+        the frames it computed. When `aligneds`/`aligneds_up` are given (the
+        streaming RAP cache), the scan consumes them instead of re-running
+        encode_ref/aa1/aa2 per step; `aligned_offset` is their own
+        first-entry frame index (defaults to frame_offset)."""
         n, t = lrs.shape[:2]
         h, w = lrs.shape[2], lrs.shape[3]
         center = t // 2
@@ -369,22 +422,32 @@ class RefVSRNet(nn.Module):
             axis=1) if len(frames) > 1 else zero_flow
         xs = {
             "lr": jnp.stack([lrs[:, i] for i in frames], 0),
-            "ref": jnp.stack([refs[:, i] for i in frames], 0),
             "conf": jnp.stack([confs[:, i] for i in rel], 0),
-            "index": jnp.stack([indices[:, i] for i in rel], 0),
             "flow": flows.transpose(1, 0, 2, 3, 4),
         }
+        if aligneds is not None:
+            aoff = frame_offset if aligned_offset is None else aligned_offset
+            arel = [i - aoff for i in frames]
+            xs["aligned"] = jnp.stack([aligneds[:, i] for i in arel], 0)
+            xs["aligned_up"] = jnp.stack([aligneds_up[:, i] for i in arel], 0)
+        else:
+            xs["ref"] = jnp.stack([refs[:, i] for i in frames], 0)
+            xs["index"] = jnp.stack([indices[:, i] for i in rel], 0)
         carry = (jnp.zeros((n, h, w, mid), dt),
                  jnp.zeros((n, 2 * h, 2 * w, mid), dt),
                  jnp.zeros((n, h, w, 1), dt))
         return self._scan_branch("backward", False, carry, xs)
 
-    def _forward_step0(self, state: StreamState, lr, ref, conf, index):
+    def _forward_step0(self, state: StreamState, lr, conf, ref=None,
+                       index=None, aligned=None, aligned_up=None):
         """Peeled first forward step: warps the carried-in StreamState with its
         saved flow (RefVSR.py:256-260; zeros state for a first frame)."""
         carry = (state.feat_prop, state.feat_prop_up, state.conf_prop)
-        x = {"lr": lr, "ref": ref, "conf": conf, "index": index,
-             "flow": state.flow}
+        x = {"lr": lr, "conf": conf, "flow": state.flow}
+        if aligned is not None:
+            x["aligned"], x["aligned_up"] = aligned, aligned_up
+        else:
+            x["ref"], x["index"] = ref, index
         carry, _ = self._prop_step("forward", False, carry, x)
         return carry
 
@@ -394,7 +457,8 @@ class RefVSRNet(nn.Module):
         t = lrs.shape[1]
         center = t // 2
         carry0 = self._forward_step0(
-            state, lrs[:, 0], refs[:, 0], confs[:, 0], indices[:, 0])
+            state, lrs[:, 0], confs[:, 0], ref=refs[:, 0],
+            index=indices[:, 0])
         if center == 0:
             return carry0, carry0
         xs = {
@@ -443,20 +507,28 @@ class RefVSRNet(nn.Module):
         h, w = lrs.shape[2], lrs.shape[3]
         state = init_stream_state(n, h, w, self.mid_channels, lrs.dtype,
                                   num_frames=t)
+        center = t // 2
         fwd_flows, bwd_flows = self.compute_flows(lrs)
         confs, indices = self.compute_matching(lrs, refs)
+        # populate the RAP cache for the tail frames (the backward branch
+        # consumes it directly, and subsequent forward_stream calls inherit a
+        # warm cache — one compiled stream graph instead of cold+warm)
+        aligneds, aligneds_up = self.compute_aligned_scan(
+            lrs[:, center:], refs[:, center:], indices[:, center:])
 
         bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
-                                         0)
+                                         0, aligneds, aligneds_up,
+                                         aligned_offset=center)
         fw_carry, _ = self._forward_branch_full(
             state, lrs, refs, fwd_flows, confs, indices)
-        out = jnp.clip(self._finalize(lrs[:, t // 2], bw_carry, fw_carry), 0, 1)
+        out = jnp.clip(self._finalize(lrs[:, center], bw_carry, fw_carry), 0, 1)
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
-            conf_prop=fw_carry[2], flow=fwd_flows[:, t // 2],
+            conf_prop=fw_carry[2], flow=fwd_flows[:, center],
             flows_fwd=fwd_flows, flows_bwd=bwd_flows,
-            conf_tail=confs[:, t // 2:], index_tail=indices[:, t // 2:])
-        return out, new_state, (bw_carry[2], fw_carry[2], confs[:, t // 2])
+            conf_tail=confs[:, center:], index_tail=indices[:, center:],
+            aligned_tail=aligneds, aligned_up_tail=aligneds_up)
+        return out, new_state, (bw_carry[2], fw_carry[2], confs[:, center])
 
     def _shift_cached_flows(self, lrs, state: StreamState):
         """Window flows from the cached previous window + one new SPyNet pair
@@ -491,18 +563,31 @@ class RefVSRNet(nn.Module):
         else:
             confs, indices = self.compute_matching(lrs[:, center:],
                                                    refs[:, center:])
+        # RAP cache (see StreamState docstring): one fresh encode+aa per
+        # streamed frame; the other tail frames reuse cached aligned features
+        if state.aligned_tail is not None:
+            na, nau = self.compute_aligned(lrs[:, -1], refs[:, -1],
+                                           indices[:, -1])
+            aligneds = jnp.concatenate(
+                [state.aligned_tail[:, 1:], na[:, None]], 1)
+            aligneds_up = jnp.concatenate(
+                [state.aligned_up_tail[:, 1:], nau[:, None]], 1)
+        else:
+            aligneds, aligneds_up = self.compute_aligned_scan(
+                lrs[:, center:], refs[:, center:], indices)
 
         bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
-                                         center)
+                                         center, aligneds, aligneds_up)
         fw_carry = self._forward_step0(
-            state, lrs[:, center], refs[:, center], confs[:, 0],
-            indices[:, 0])
+            state, lrs[:, center], confs[:, 0],
+            aligned=aligneds[:, 0], aligned_up=aligneds_up[:, 0])
         out = jnp.clip(self._finalize(lrs[:, center], bw_carry, fw_carry), 0, 1)
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
             conf_prop=fw_carry[2], flow=fwd_flows[:, center],
             flows_fwd=fwd_flows, flows_bwd=bwd_flows,
-            conf_tail=confs, index_tail=indices)
+            conf_tail=confs, index_tail=indices,
+            aligned_tail=aligneds, aligned_up_tail=aligneds_up)
         return out, new_state, (bw_carry[2], fw_carry[2], confs[:, 0])
 
     def __call__(self, lrs, refs, state: StreamState):

@@ -132,6 +132,8 @@ class RefVSRIRNet(nn.Module):
     compute_flows = RefVSRNet.compute_flows
     compute_matching = RefVSRNet.compute_matching
     encode_ref = RefVSRNet.encode_ref
+    compute_aligned = RefVSRNet.compute_aligned
+    compute_aligned_batched = RefVSRNet.compute_aligned_batched
     _shift_cached_flows = RefVSRNet._shift_cached_flows
     rap = RefVSRNet.rap
     compute_up = RefVSRNet.compute_up
@@ -139,14 +141,6 @@ class RefVSRIRNet(nn.Module):
     _tail = RefVSRNet._tail
     _tail_tiled = RefVSRNet._tail_tiled
     _TAIL_TILE_THRESHOLD = RefVSRNet._TAIL_TILE_THRESHOLD
-
-    def encode_refs(self, refs):
-        """Batched over time (IR windows are small — 270p inputs; the plain
-        RefVSR encodes inside the scan instead for 8K HBM reasons)."""
-        n, t = refs.shape[:2]
-        f, fd = self.encode_ref(refs.reshape((n * t,) + refs.shape[2:]))
-        return (f.reshape((n, t) + f.shape[1:]),
-                fd.reshape((n, t) + fd.shape[1:]))
 
     # ---------------- information refill ----------------
 
@@ -213,8 +207,8 @@ class RefVSRIRNet(nn.Module):
             agg = self.forward_resblocks(
                 jnp.concatenate([x["lr"], x["bw_out"], feat_prop], -1))
         feat_prop, feat_prop_up, conf_prop = self.rap(
-            x["lr"], x["ref"], x["conf"], conf_prop, x["index"], agg,
-            feat_prop_up, x["ref_feat_down"], x["ref_feat"])
+            x["conf"], conf_prop, agg, feat_prop_up, x["aligned"],
+            x["aligned_up"])
         return (feat_prop, feat_prop_up, conf_prop), feat_prop
 
     def _scan(self, branch, carry, xs):
@@ -247,7 +241,10 @@ class RefVSRIRNet(nn.Module):
         else:
             fwd_flows, bwd_flows = self.compute_flows(lrs)
         confs, indices = self.compute_matching(lrs, refs)
-        ref_feats, ref_feats_down = self.encode_refs(refs)
+        # carry-independent RAP half, batched over the window (IR inputs are
+        # 270p — the whole-window batch is cheap here, unlike the 8K RefVSR)
+        aligneds, aligneds_up = self.compute_aligned_batched(lrs, refs,
+                                                             indices)
         refill = self.compute_refill_features(lrs)
         kf = jnp.broadcast_to(
             jnp.asarray(keyframe_mask, bool)[None, :], (n, t))
@@ -258,10 +255,9 @@ class RefVSRIRNet(nn.Module):
         parts = [zero_flow] + [bwd_flows[:, i][:, None] for i in frames[1:]]
         bw_flows = jnp.concatenate(parts, 1)
         xs_b = self._stack_time({
-            "lr": lrs[:, frames], "ref": refs[:, frames],
-            "conf": confs[:, frames], "index": indices[:, frames],
-            "ref_feat": ref_feats[:, frames],
-            "ref_feat_down": ref_feats_down[:, frames],
+            "lr": lrs[:, frames], "conf": confs[:, frames],
+            "aligned": aligneds[:, frames],
+            "aligned_up": aligneds_up[:, frames],
             "refill": refill[:, frames], "is_key": kf[:, frames],
             "flow": bw_flows, "flow_up": bw_flows,
         })
@@ -287,9 +283,9 @@ class RefVSRIRNet(nn.Module):
         stale_flow = bwd_flows[:, 0]  # the reference bug (RefVSR_IR.py:326)
         # step 0 (peeled): warp carried state with its saved flow
         x0 = {
-            "lr": lrs[:, 0], "ref": refs[:, 0], "conf": confs[:, 0],
-            "index": indices[:, 0], "ref_feat": ref_feats[:, 0],
-            "ref_feat_down": ref_feats_down[:, 0], "refill": refill[:, 0],
+            "lr": lrs[:, 0], "conf": confs[:, 0],
+            "aligned": aligneds[:, 0], "aligned_up": aligneds_up[:, 0],
+            "refill": refill[:, 0],
             "is_key": kf[:, 0], "flow": state.flow, "flow_up": state.flow,
             "bw_out": bw_out_frames[0],
         }
@@ -306,8 +302,8 @@ class RefVSRIRNet(nn.Module):
         agg = self.forward_resblocks(
             jnp.concatenate([x0["lr"], x0["bw_out"], feat_prop], -1))
         feat_prop, feat_prop_up, conf_prop = self.rap(
-            x0["lr"], x0["ref"], x0["conf"], conf_prop, x0["index"], agg,
-            feat_prop_up, x0["ref_feat_down"], x0["ref_feat"])
+            x0["conf"], conf_prop, agg, feat_prop_up, x0["aligned"],
+            x0["aligned_up"])
         carry = (feat_prop, feat_prop_up, conf_prop)
         saved = (feat_prop, feat_prop_up, conf_prop)  # i==0 save (:348-352)
 
@@ -318,9 +314,9 @@ class RefVSRIRNet(nn.Module):
                        jnp.broadcast_to(stale_flow[:, None],
                                         (n, len(fr), h, w, 2)))
             xs_f = self._stack_time({
-                "lr": lrs[:, fr], "ref": refs[:, fr], "conf": confs[:, fr],
-                "index": indices[:, fr], "ref_feat": ref_feats[:, fr],
-                "ref_feat_down": ref_feats_down[:, fr],
+                "lr": lrs[:, fr], "conf": confs[:, fr],
+                "aligned": aligneds[:, fr],
+                "aligned_up": aligneds_up[:, fr],
                 "refill": refill[:, fr], "is_key": kf[:, fr],
                 "flow": fwd_flows[:, [i - 1 for i in fr]],
                 "flow_up": up_flow,

@@ -21,8 +21,11 @@ FOUR bilinear corners into one fat row: a pixel-QUAD canvas
 (2.1M pixels, C=48, bf16, v5e): quad 42 ms, pair-canvas 2-gather 57 ms,
 canvas-free 4-gather 298 ms, lax.gather of (2,2C) slices 3273 ms (tiny-slice
 layout padding). The quad canvas costs 4x the source in HBM, so above
-``_QUAD_CANVAS_BYTES`` we drop to the pair canvas (2 gathers, 2x memory) —
-the 8K stream path is HBM-constrained on 16 GB chips.
+``_QUAD_CANVAS_BYTES`` we drop to the pair canvas (2 gathers, 2x memory).
+The threshold admits the 1080p-HD-in 2x-grid UP warp's 3.2 GB quad canvas:
+round-2 profiling showed the pair fallback costing 441 ms there (double
+gathers + worse layout) vs ~150 ms expected on the quad path — worth the
+transient HBM on a 16 GB chip.
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
-_QUAD_CANVAS_BYTES = 1536 << 20
+_QUAD_CANVAS_BYTES = 3584 << 20
 
 
 def _shift_left(x, axis):
@@ -41,7 +44,8 @@ def _shift_left(x, axis):
     return jnp.pad(lax.slice_in_dim(x, 1, x.shape[axis], axis=axis), pads)
 
 
-def build_corner_canvas(x: jnp.ndarray, ring: bool):
+def build_corner_canvas(x: jnp.ndarray, ring: bool,
+                        max_quad_bytes: int | None = None):
     """Precompute the gather table for 4-corner bilinear fetches.
 
     x: (N, H, W, C). ring=True adds a one-pixel zero ring (grid_sample-style:
@@ -56,7 +60,8 @@ def build_corner_canvas(x: jnp.ndarray, ring: bool):
     else:
         xp = x
     hp, wp = xp.shape[1], xp.shape[2]
-    quad_ok = 4 * hp * wp * c * xp.dtype.itemsize * n <= _QUAD_CANVAS_BYTES
+    budget = _QUAD_CANVAS_BYTES if max_quad_bytes is None else max_quad_bytes
+    quad_ok = 4 * hp * wp * c * xp.dtype.itemsize * n <= budget
     pair = jnp.concatenate([xp, _shift_left(xp, 2)], -1)          # 2C
     if quad_ok:
         quad = jnp.concatenate([pair, _shift_left(pair, 1)], -1)  # 4C

@@ -115,6 +115,22 @@ def main():
              "flow": img(1, h, w, 2)}
         timeit("prop step (x5/frame)", prop, params, carry, x, iters=4)
 
+        # streaming variant: cached aligned features (the RAP cache skips
+        # encode_ref/aa1/aa2 per step — see StreamState docstring)
+        xc = {"lr": x["lr"], "conf": x["conf"], "flow": x["flow"],
+              "aligned": img(1, h, w, mid),
+              "aligned_up": img(1, 2 * h, 2 * w, mid)}
+        timeit("prop step CACHED aligned", prop, params, carry, xc, iters=4)
+
+        @jax.jit
+        def comp_aligned(params, lr, ref, index):
+            a, au = net.apply(params, lr, ref, index,
+                              method=lambda m, *v: m.compute_aligned(*v))
+            return (jnp.sum(a.astype(jnp.float32))
+                    + jnp.sum(au.astype(jnp.float32)))
+        timeit("compute_aligned (x1/frame)", comp_aligned, params, x["lr"],
+               x["ref"], x["index"], iters=4)
+
         # sub-pieces of the prop step
         @jax.jit
         def warps(params, feat, conf, up, flow):
@@ -148,15 +164,15 @@ def main():
         timeit("prop step ALL outputs", prop_all, params, carry, x, iters=4)
 
         @jax.jit
-        def rap_only(params, carry, x, rf, rfd):
+        def rap_only(params, carry, x, al, alu):
             out = net.apply(
-                params, x["lr"], x["ref"], x["conf"], carry[2], x["index"],
-                carry[0], carry[1], rfd, rf,
+                params, x["conf"], carry[2], carry[0], carry[1], al, alu,
                 method=lambda m, *args: m.rap(*args))
             return jnp.sum(out[0].astype(jnp.float32)) + jnp.sum(
                 out[1].astype(jnp.float32))
-        rf, rfd = img(1, h, w, mid), img(1, h // 2, w // 2, mid)
-        timeit("  rap only", rap_only, params, carry, x, rf, rfd, iters=4)
+        al, alu = img(1, h, w, mid), img(1, 2 * h, 2 * w, mid)
+        timeit("  rap only (carry half)", rap_only, params, carry, x, al,
+               alu, iters=4)
 
     if "rap_parts" in parts:
         from refvsr_tpu.models.refvsr import _up2_clamp, _flow_up2
@@ -344,7 +360,9 @@ def main():
         tt = t - t // 2
         state = state.replace(
             conf_tail=jnp.zeros((1, tt, h, w, 1), dtype),
-            index_tail=jnp.zeros((1, tt, (h // 4) * (w // 4)), jnp.int32))
+            index_tail=jnp.zeros((1, tt, (h // 4) * (w // 4)), jnp.int32),
+            aligned_tail=jnp.zeros((1, tt, h, w, mid), dtype),
+            aligned_up_tail=jnp.zeros((1, tt, 2 * h, 2 * w, mid), dtype))
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def step(params, lrs, refs, state):

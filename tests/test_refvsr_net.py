@@ -90,7 +90,9 @@ def test_stream_matching_cache_matches_fresh(train_setup):
         refs = frames_ref[:, s:s + T]
         out_c, state_c, _ = net.apply(params, lrs, refs, state,
                                       method=RefVSRNet.forward_stream)
-        cold = state.replace(conf_tail=None, index_tail=None)
+        # also null the RAP cache so the fresh path recomputes everything
+        cold = state.replace(conf_tail=None, index_tail=None,
+                             aligned_tail=None, aligned_up_tail=None)
         out_f, _, _ = net.apply(params, lrs, refs, cold,
                                 method=RefVSRNet.forward_stream)
         np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_f),
