@@ -110,61 +110,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-
-def bench_pallas():
-    """Compare fused Pallas kernels vs XLA at real model shapes."""
-    import refvsr_tpu.ops.pallas.conv_kernel as ck
-    key = jax.random.PRNGKey(0)
-    dt = jnp.bfloat16
-    for (h, w, c) in ((544, 960, 48), (1088, 1920, 48)):
-        x = jax.random.uniform(key, (1, h, w, c), dt)
-        k1 = jax.random.uniform(key, (3, 3, c, c), dt, -0.1, 0.1)
-        k2 = jax.random.uniform(key, (3, 3, c, c), dt, -0.1, 0.1)
-        b = jax.random.uniform(key, (c,), dt)
-
-        @jax.jit
-        def xla_rb(x, k1, b1, k2, b2):
-            return jnp.sum(ck._xla_resblock(x, k1, b1, k2, b2, 0.0,
-                                            1.0).astype(jnp.float32))
-        timeit(f"XLA resblock {h}x{w}x{c}", xla_rb, x, k1, b, k2, b)
-
-        @jax.jit
-        def pallas_rb(x, k1, b1, k2, b2):
-            return jnp.sum(ck.fused_resblock(x, k1, b1, k2, b2, 0.0,
-                                             1.0).astype(jnp.float32))
-        timeit(f"Pallas resblock {h}x{w}x{c}", pallas_rb, x, k1, b, k2, b)
-
-        @jax.jit
-        def xla_c(x, k1, b1):
-            return jnp.sum(ck._xla_single(x, k1, b1,
-                                          0.1).astype(jnp.float32))
-        timeit(f"XLA conv3x3+act {h}x{w}x{c}", xla_c, x, k1, b)
-
-        @jax.jit
-        def pallas_c(x, k1, b1):
-            return jnp.sum(ck.fused_conv3x3(x, k1, b1,
-                                            0.1).astype(jnp.float32))
-        timeit(f"Pallas conv3x3+act {h}x{w}x{c}", pallas_c, x, k1, b)
-
-        @jax.jit
-        def xla_chain(x, k1, b1, k2, b2):
-            def step(xx, _):
-                return ck._xla_resblock(xx, k1, b1, k2, b2, 0.0, 1.0), None
-            out, _ = lax.scan(step, x, None, length=10)
-            return jnp.sum(out.astype(jnp.float32))
-        timeit(f"XLA 10-chain {h}x{w}x{c}", xla_chain, x, k1, b, k2, b,
-               iters=4)
-
-        @jax.jit
-        def pallas_chain(x, k1, b1, k2, b2):
-            def step(xx, _):
-                return ck.fused_resblock(xx, k1, b1, k2, b2, 0.0, 1.0), None
-            out, _ = lax.scan(step, x, None, length=10)
-            return jnp.sum(out.astype(jnp.float32))
-        timeit(f"Pallas 10-chain {h}x{w}x{c}", pallas_chain, x, k1, b, k2, b,
-               iters=4)
-
-
-if __name__ == "__main__" and "--pallas" in sys.argv:
-    bench_pallas()

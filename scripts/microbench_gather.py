@@ -1,18 +1,32 @@
 #!/usr/bin/env python
-"""Microbench: bilinear corner-gather formulations at the UP-warp shape.
+"""Microbench: characterize the TPU row-gather wall that bounds the warp path.
 
-Finding so far (v5e, solo runs): XLA row-gather cost is ROW-COUNT bound
-(~21 ns/row at these shapes, independent of row width 48 vs 96 lanes), so
-fewer-but-wider gathered rows win. Variants:
+Round-1/2 profiles put the bilinear warps at ~16 ns per gathered row
+(take_along_axis of 4C=192-lane quad rows), ~10x over the HBM floor for the
+useful bytes. Hypotheses this bench separates:
 
-  V1 two gathers from the pixel-PAIR canvas (2C lanes)      [round-1 design]
-  V2 ONE gather from a pixel-QUAD canvas (4C lanes)
-  V3 one lax.gather of (2, 2C) slices from the pair canvas
-  V4 four gathers from the unpadded image (C lanes)         [current]
+  H1 layout: a (1, 192)-row slice of a T(8,128)-tiled table touches 8
+     sublanes x 2 lane tiles = 4 KB of HBM per 384 useful bytes -> the wall
+     is tiling-induced read amplification (iota == random speed).
+  H2 op overhead: XLA's gather loop is dispatch-bound (ns/row constant
+     across row widths; block-gather of 8 rows per index ~8x faster/byte).
+  H3 cache locality: smooth (iota-ish) indices reuse tiles; random indices
+     are slower (iota >> random).
+
+Cases (all N=1, table rows R, row width L lanes, bf16, indices int32):
+  taa L=192 iota / random / smooth   take_along_axis[(R,192)] per-pixel
+  taa L=96 / L=384 / L=768           row-width scaling
+  block8                             gather (8,192) blocks via R/8 indices
+  dyn_slice_scan                     lax.scan of dynamic_slice (1 row/step)
+
+Run: python scripts/microbench_gather.py [--rows 8294400] [--out 8294400]
+(defaults sized to the 2x-grid UP warp at 1080p-HD-in: 2160*3840 outputs)
 """
 
 from __future__ import annotations
 
+import argparse
+import functools
 import os
 import sys
 import time
@@ -20,14 +34,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.lax as lax
 import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import numpy as np
 
 
-def timeit(name, fn, *args, iters=8, warmup=3):
+def timeit(name, fn, *args, iters=6, warmup=2, bytes_useful=None, rows=None):
     acc = jnp.zeros((), jnp.float32)
     for _ in range(warmup):
         acc = acc + fn(*args)
@@ -37,96 +48,84 @@ def timeit(name, fn, *args, iters=8, warmup=3):
     for _ in range(iters):
         acc = acc + fn(*args)
     assert float(acc) == float(acc)
-    print(f"{name:40s} {(time.perf_counter() - t0) / iters * 1000:9.2f} ms",
-          flush=True)
+    dt = (time.perf_counter() - t0) / iters
+    extra = ""
+    if rows:
+        extra += f"  {dt/rows*1e9:7.2f} ns/row"
+    if bytes_useful:
+        extra += f"  {bytes_useful/dt/1e9:7.1f} GB/s useful"
+    print(f"{name:26s} {dt*1000:9.2f} ms{extra}")
+    return dt
 
 
 def main():
-    h, w, c = 1088, 1920, 48
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=2160 * 3840)
+    p.add_argument("--out", type=int, default=2160 * 3840)
+    a = p.parse_args()
+    R, O = a.rows, a.out
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     key = jax.random.PRNGKey(0)
-    dt = jnp.bfloat16
-    x = jax.random.uniform(key, (1, h, w, c), dt)
-    # random in-bounds corner coords (worst-case scattered)
-    ky, kx = jax.random.split(key)
-    y0 = jax.random.randint(ky, (1, h, w), 0, h - 1)
-    x0 = jax.random.randint(kx, (1, h, w), 0, w - 1)
+    k1, k2 = jax.random.split(key)
+    idx_rand = jax.random.randint(k1, (1, O, 1), 0, R, jnp.int32)
+    idx_iota = (jnp.arange(O, dtype=jnp.int32) % R).reshape(1, O, 1)
+    # smooth: iota + small per-pixel jitter (what a real flow field looks like)
+    idx_smooth = jnp.clip(
+        idx_iota + jax.random.randint(k2, (1, O, 1), -64, 64), 0,
+        R - 1).astype(jnp.int32)
 
-    def pair_canvas(x):
-        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
-        sh = jnp.pad(xp[:, :, 1:], [(0, 0), (0, 0), (0, 1), (0, 0)])
-        return jnp.concatenate([xp, sh], -1)          # (1, h+2, w+2, 2C)
+    def gather(tab, idx):
+        return jnp.sum(jnp.take_along_axis(tab, idx, axis=1,
+                                           mode="clip").astype(jnp.float32))
 
-    @jax.jit
-    def v1(x, y0, x0):
-        pair = pair_canvas(x)
-        wp = w + 2
-        flat = pair.reshape(1, -1, 2 * c)
-        idx = ((y0 + 1) * wp + (x0 + 1)).reshape(1, -1, 1)
-        top = jnp.take_along_axis(flat, idx, axis=1)
-        bot = jnp.take_along_axis(flat, idx + wp, axis=1)
-        return jnp.sum(top.astype(jnp.float32)) + jnp.sum(
-            bot.astype(jnp.float32))
-    timeit("V1 pair canvas, 2 gathers (2C rows)", v1, x, y0, x0)
+    for L in (192,):
+        tab = jax.random.uniform(key, (1, R, L), jnp.bfloat16)
+        for name, idx in (("iota", idx_iota), ("smooth", idx_smooth),
+                          ("random", idx_rand)):
+            timeit(f"taa L={L} {name}", jax.jit(gather), tab, idx,
+                   rows=O, bytes_useful=O * L * 2)
+        del tab
 
-    @jax.jit
-    def v2(x, y0, x0):
-        pair = pair_canvas(x)
-        quad = jnp.concatenate(
-            [pair, jnp.pad(pair[:, 1:], [(0, 0), (0, 1), (0, 0), (0, 0)])],
-            -1)                                        # (1, h+2, w+2, 4C)
-        wp = w + 2
-        flat = quad.reshape(1, -1, 4 * c)
-        idx = ((y0 + 1) * wp + (x0 + 1)).reshape(1, -1, 1)
-        out = jnp.take_along_axis(flat, idx, axis=1)
-        return jnp.sum(out.astype(jnp.float32))
-    timeit("V2 quad canvas, 1 gather (4C rows)", v2, x, y0, x0)
+    for L in (96, 384, 768):
+        tab = jax.random.uniform(key, (1, R, L), jnp.bfloat16)
+        timeit(f"taa L={L} smooth", jax.jit(gather), tab,
+               jnp.clip(idx_smooth, 0, R - 1), rows=O,
+               bytes_useful=O * L * 2)
+        del tab
 
-    @jax.jit
-    def v3(x, y0, x0):
-        pair = pair_canvas(x)
-        wp = w + 2
-        flat = pair.reshape((h + 2) * wp, 2 * c)
-        starts = ((y0 + 1) * wp + (x0 + 1)).reshape(-1, 1)
-        out = lax.gather(
-            flat, starts,
-            lax.GatherDimensionNumbers(offset_dims=(1, 2),
-                                       collapsed_slice_dims=(),
-                                       start_index_map=(0,)),
-            slice_sizes=(2, 2 * c), mode="clip")
-        return jnp.sum(out.astype(jnp.float32))
-    timeit("V3 pair canvas, (2,2C) slice gather", v3, x, y0, x0)
+    # block gather: O/8 indices, each fetching an (8, 192) block ->
+    # same useful bytes as taa L=192
+    Rb, Ob = R // 8, O // 8
+    tab_b = jax.random.uniform(key, (1, Rb, 8 * 192), jnp.bfloat16)
+    idx_b = jax.random.randint(k1, (1, Ob, 1), 0, Rb, jnp.int32)
+
+    def gather_b(tab, idx):
+        return jnp.sum(jnp.take_along_axis(tab, idx, axis=1,
+                                           mode="clip").astype(jnp.float32))
+    timeit("block8 random", jax.jit(gather_b), tab_b, idx_b, rows=Ob,
+           bytes_useful=O * 192 * 2)
+    del tab_b
+
+    # one-row-per-step dynamic-slice scan (lower bound on loop dispatch)
+    Os = min(O, 1 << 16)
+    tab = jax.random.uniform(key, (R, 192), jnp.bfloat16)
+    idx_s = jax.random.randint(k1, (Os,), 0, R, jnp.int32)
 
     @jax.jit
-    def v4(x, y0, x0):
-        flat = x.reshape(1, -1, c)
-        y1 = jnp.minimum(y0 + 1, h - 1)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        s = jnp.zeros((), jnp.float32)
-        for yy, xx in ((y0, x0), (y0, x1), (y1, x0), (y1, x1)):
-            idx = (yy * w + xx).reshape(1, -1, 1)
-            s = s + jnp.sum(
-                jnp.take_along_axis(flat, idx, axis=1).astype(jnp.float32))
-        return s
-    timeit("V4 no canvas, 4 gathers (C rows)", v4, x, y0, x0)
-
-    # V5: quad canvas built once, gather in 2 row-chunks via scan (the
-    # affine-gather pattern) — checks the canvas is hoisted out of the scan
-    @jax.jit
-    def v5(x, y0, x0):
-        pair = pair_canvas(x)
-        quad = jnp.concatenate(
-            [pair, jnp.pad(pair[:, 1:], [(0, 0), (0, 1), (0, 0), (0, 0)])],
-            -1)
-        wp = w + 2
-        flat = quad.reshape(1, -1, 4 * c)
-        idx = ((y0 + 1) * wp + (x0 + 1)).reshape(1, 2, -1)
-
-        def step(_, ii):
-            o = jnp.take_along_axis(flat, ii[..., None], axis=1)
-            return None, jnp.sum(o.astype(jnp.float32))
-        _, ss = lax.scan(step, None, idx.transpose(1, 0, 2))
-        return jnp.sum(ss)
-    timeit("V5 quad canvas, scan-chunked gather", v5, x, y0, x0)
+    def dyn_scan(tab, idx):
+        def body(c, i):
+            return c + jnp.sum(jax.lax.dynamic_slice_in_dim(
+                tab, i, 1, 0).astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), idx)
+        return c
+    timeit(f"dyn_slice_scan O={Os}", dyn_scan, tab, idx_s, rows=Os)
 
 
 if __name__ == "__main__":
