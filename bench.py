@@ -70,7 +70,8 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
         index_tail=jnp.zeros((n, tt, (h // 4) * (w // 4)), jnp.int32),
         aligned_tail=jnp.zeros((n, tt, h, w, mid_channels), dtype),
         aligned_up_tail=jnp.zeros((n, tt, 2 * h, 2 * w, mid_channels),
-                                  dtype))
+                                  dtype),
+        tail_base=jnp.zeros((), jnp.int32))
 
     @functools.partial(jax.jit, donate_argnums=(3, 4))
     def step(params, lrs, refs, state, acc):

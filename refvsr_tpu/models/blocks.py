@@ -119,6 +119,10 @@ class Conv2d(nn.Module):
     kernel_init: Callable = torch_conv_kernel_init
     packed: int = 1
     in_features: int | None = None  # required only for x=None param declare
+    # "xla" = native conv lowering; "im2col_w" = width-im2col with K = k*C
+    # dots (ops/conv.wide_im2col_conv; stride 1, 'same' padding only).
+    # Identical params and numerics (matmul-reassociated sums).
+    formulation: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -144,6 +148,10 @@ class Conv2d(nn.Module):
         if self.stride > 1:
             from refvsr_tpu.ops.conv import blocked_strided_conv
             return blocked_strided_conv(x, kernel, bias, self.stride, p)
+        if self.formulation == "im2col_w":
+            assert self.packed == 1 and p == self.kernel_size // 2
+            from refvsr_tpu.ops.conv import wide_im2col_conv
+            return wide_im2col_conv(x, kernel, bias)
         out = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding=((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

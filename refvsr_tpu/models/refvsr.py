@@ -64,7 +64,16 @@ class StreamState:
     identical every time the backward branch revisits it across overlapping
     windows. Round-2 profile at 1080p HD-in: these are 834 ms of the 1888 ms
     prop step — caching runs them once per streamed frame instead of
-    t//2 + 1 times. Exact (no approximation); ~1 GB/frame of HBM at 1080p."""
+    t//2 + 1 times. Exact (no approximation); ~1 GB/frame of HBM at 1080p.
+
+    The two aligned caches are RING buffers: logical tail frame i lives at
+    slot (tail_base + i) % TT along axis 1, and forward_stream advances the
+    window by overwriting the expired slot in place (dynamic_update_slice
+    aliases the donated buffer) instead of a shift-concat — the concat copies
+    the full ~3.7 GB cache every frame and its temps were the largest HLO
+    allocations in the 8K stream graph. tail_base None = natural order
+    (base 0) for states warmed by hand (bench/profilers). conf_tail /
+    index_tail are small and stay logically ordered (plain shift)."""
     feat_prop: jnp.ndarray       # (N, h, w, C)
     feat_prop_up: jnp.ndarray    # (N, 2h, 2w, C)
     conf_prop: jnp.ndarray       # (N, h, w, 1)
@@ -73,8 +82,9 @@ class StreamState:
     flows_bwd: jnp.ndarray       # (N, T-1, h, w, 2)
     conf_tail: jnp.ndarray | None = None   # (N, T-T//2, h, w, 1)
     index_tail: jnp.ndarray | None = None  # (N, T-T//2, L) int32
-    aligned_tail: jnp.ndarray | None = None     # (N, T-T//2, h, w, C)
-    aligned_up_tail: jnp.ndarray | None = None  # (N, T-T//2, 2h, 2w, C)
+    aligned_tail: jnp.ndarray | None = None     # (N, T-T//2, h, w, C) ring
+    aligned_up_tail: jnp.ndarray | None = None  # (N, T-T//2, 2h, 2w, C) ring
+    tail_base: jnp.ndarray | None = None        # () int32 ring base
 
 
 def init_stream_state(n: int, h: int, w: int, mid_channels: int,
@@ -396,7 +406,8 @@ class RefVSRNet(nn.Module):
 
     def _backward_branch(self, lrs, refs, backward_flows, confs, indices,
                          frame_offset: int, aligneds=None, aligneds_up=None,
-                         aligned_offset: int | None = None):
+                         aligned_offset: int | None = None,
+                         aligned_base=None):
         """Full backward branch over frames t-1 .. t//2 (RefVSR.py:210-238).
 
         All per-frame arrays here are indexed relative to `frame_offset` (the
@@ -404,7 +415,9 @@ class RefVSRNet(nn.Module):
         the frames it computed. When `aligneds`/`aligneds_up` are given (the
         streaming RAP cache), the scan consumes them instead of re-running
         encode_ref/aa1/aa2 per step; `aligned_offset` is their own
-        first-entry frame index (defaults to frame_offset)."""
+        first-entry frame index (defaults to frame_offset). `aligned_base`
+        (traced () int32) marks them as ring buffers with logical entry i at
+        slot (base + i) % TT — see StreamState."""
         n, t = lrs.shape[:2]
         h, w = lrs.shape[2], lrs.shape[3]
         center = t // 2
@@ -428,15 +441,38 @@ class RefVSRNet(nn.Module):
         if aligneds is not None:
             aoff = frame_offset if aligned_offset is None else aligned_offset
             arel = [i - aoff for i in frames]
-            xs["aligned"] = jnp.stack([aligneds[:, i] for i in arel], 0)
-            xs["aligned_up"] = jnp.stack([aligneds_up[:, i] for i in arel], 0)
+            # Scan over cache INDICES and dynamic-slice inside the body: the
+            # reverse-ordered jnp.stack alternative materializes a full copy
+            # of the (N, TT, 2h, 2w, C) cache (~3 GB at 1080p-HD-in) as a
+            # scan input — measured as the largest HLO temp in the stream
+            # graph. The cache arrays ride into the body as scan-invariant
+            # captures instead.
+            aidx = jnp.asarray(arel, jnp.int32)
+            if aligned_base is not None:
+                aidx = jnp.mod(aligned_base + aidx, aligneds.shape[1])
+            xs["aidx"] = aidx
         else:
             xs["ref"] = jnp.stack([refs[:, i] for i in frames], 0)
             xs["index"] = jnp.stack([indices[:, i] for i in rel], 0)
         carry = (jnp.zeros((n, h, w, mid), dt),
                  jnp.zeros((n, 2 * h, 2 * w, mid), dt),
                  jnp.zeros((n, h, w, 1), dt))
-        return self._scan_branch("backward", False, carry, xs)
+        if aligneds is None:
+            return self._scan_branch("backward", False, carry, xs)
+
+        def step(mdl, c, x):
+            x = dict(x)
+            k = x.pop("aidx")
+            x["aligned"] = jax.lax.dynamic_index_in_dim(
+                aligneds, k, 1, keepdims=False)
+            x["aligned_up"] = jax.lax.dynamic_index_in_dim(
+                aligneds_up, k, 1, keepdims=False)
+            return mdl._prop_step("backward", False, c, x)
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False})
+        carry, _ = scan(self, carry, xs)
+        return carry
 
     def _forward_step0(self, state: StreamState, lr, conf, ref=None,
                        index=None, aligned=None, aligned_up=None):
@@ -527,7 +563,8 @@ class RefVSRNet(nn.Module):
             conf_prop=fw_carry[2], flow=fwd_flows[:, center],
             flows_fwd=fwd_flows, flows_bwd=bwd_flows,
             conf_tail=confs[:, center:], index_tail=indices[:, center:],
-            aligned_tail=aligneds, aligned_up_tail=aligneds_up)
+            aligned_tail=aligneds, aligned_up_tail=aligneds_up,
+            tail_base=jnp.zeros((), jnp.int32))
         return out, new_state, (bw_carry[2], fw_carry[2], confs[:, center])
 
     def _shift_cached_flows(self, lrs, state: StreamState):
@@ -564,30 +601,42 @@ class RefVSRNet(nn.Module):
             confs, indices = self.compute_matching(lrs[:, center:],
                                                    refs[:, center:])
         # RAP cache (see StreamState docstring): one fresh encode+aa per
-        # streamed frame; the other tail frames reuse cached aligned features
+        # streamed frame; the other tail frames reuse cached aligned features.
+        # Ring update: overwrite the expired slot in place (aliases the
+        # donated buffer) and advance the base — no full-cache shift copy.
         if state.aligned_tail is not None:
             na, nau = self.compute_aligned(lrs[:, -1], refs[:, -1],
                                            indices[:, -1])
-            aligneds = jnp.concatenate(
-                [state.aligned_tail[:, 1:], na[:, None]], 1)
-            aligneds_up = jnp.concatenate(
-                [state.aligned_up_tail[:, 1:], nau[:, None]], 1)
+            tt = state.aligned_tail.shape[1]
+            base_old = (state.tail_base if state.tail_base is not None
+                        else jnp.zeros((), jnp.int32))
+            aligneds = jax.lax.dynamic_update_slice_in_dim(
+                state.aligned_tail, na[:, None], base_old, 1)
+            aligneds_up = jax.lax.dynamic_update_slice_in_dim(
+                state.aligned_up_tail, nau[:, None], base_old, 1)
+            base = jnp.mod(base_old + 1, tt)
         else:
             aligneds, aligneds_up = self.compute_aligned_scan(
                 lrs[:, center:], refs[:, center:], indices)
+            base = jnp.zeros((), jnp.int32)
 
         bw_carry = self._backward_branch(lrs, refs, bwd_flows, confs, indices,
-                                         center, aligneds, aligneds_up)
+                                         center, aligneds, aligneds_up,
+                                         aligned_base=base)
         fw_carry = self._forward_step0(
             state, lrs[:, center], confs[:, 0],
-            aligned=aligneds[:, 0], aligned_up=aligneds_up[:, 0])
+            aligned=jax.lax.dynamic_index_in_dim(aligneds, base, 1,
+                                                 keepdims=False),
+            aligned_up=jax.lax.dynamic_index_in_dim(aligneds_up, base, 1,
+                                                    keepdims=False))
         out = jnp.clip(self._finalize(lrs[:, center], bw_carry, fw_carry), 0, 1)
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
             conf_prop=fw_carry[2], flow=fwd_flows[:, center],
             flows_fwd=fwd_flows, flows_bwd=bwd_flows,
             conf_tail=confs, index_tail=indices,
-            aligned_tail=aligneds, aligned_up_tail=aligneds_up)
+            aligned_tail=aligneds, aligned_up_tail=aligneds_up,
+            tail_base=base)
         return out, new_state, (bw_carry[2], fw_carry[2], confs[:, 0])
 
     def __call__(self, lrs, refs, state: StreamState):

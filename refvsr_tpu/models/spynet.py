@@ -14,12 +14,18 @@ train time (RefVSR.py:28-29) — the trainer masks them out of the optimizer."""
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 from refvsr_tpu.models.blocks import Conv2d
 from refvsr_tpu.ops.resize import resize, avg_pool_2x2
 from refvsr_tpu.ops.warp import flow_warp
+
+# 7x7 conv formulation: "xla" (native lowering) or "im2col_w" (width-im2col,
+# K=7C dots — see ops/conv.wide_im2col_conv). Same params either way.
+_SPYNET_CONV = os.environ.get("REFVSR_SPYNET_CONV", "xla")
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -31,7 +37,8 @@ class SPyNetBasicModule(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i, ch in enumerate((32, 64, 32, 16, 2)):
-            x = Conv2d(ch, kernel_size=7, name=f"conv_{i}")(x)
+            x = Conv2d(ch, kernel_size=7, formulation=_SPYNET_CONV,
+                       name=f"conv_{i}")(x)
             if i < 4:
                 x = nn.relu(x)
         return x

@@ -62,3 +62,30 @@ def blocked_strided_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(x.dtype)
     return out
+
+
+def wide_im2col_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                     bias: jnp.ndarray | None) -> jnp.ndarray:
+    """k x k 'same' stride-1 conv via width-im2col: concat the k horizontally
+    shifted copies of x (k*C channels) and run a (k, 1) conv — the MXU dots
+    get K = k*C instead of C (SPyNet's 7x7 convs at 8..64 channels run ~37x
+    over their FLOP floor with XLA's native lowering; K=7C recovers most of
+    the systolic-array K-dim). Numerically identical taps, matmul-
+    reassociated sums. Temp cost: a k*C-channel copy of x."""
+    n, h, w, c = x.shape
+    k = kernel.shape[0]
+    p = k // 2
+    xp = jnp.pad(x, [(0, 0), (0, 0), (p, p), (0, 0)])
+    cols = jnp.concatenate([xp[:, :, i:i + w] for i in range(k)], axis=-1)
+    # (k, k, C, O): row tap dy stays spatial; column tap dx becomes the
+    # dx-th C-channel block of the (k, 1) kernel
+    o = kernel.shape[-1]
+    wk = kernel.reshape(k, 1, k * c, o)
+    out = lax.conv_general_dilated(
+        cols, wk, window_strides=(1, 1),
+        padding=((p, p), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out

@@ -378,7 +378,8 @@ def main():
             conf_tail=jnp.zeros((1, tt, h, w, 1), dtype),
             index_tail=jnp.zeros((1, tt, (h // 4) * (w // 4)), jnp.int32),
             aligned_tail=jnp.zeros((1, tt, h, w, mid), dtype),
-            aligned_up_tail=jnp.zeros((1, tt, 2 * h, 2 * w, mid), dtype))
+            aligned_up_tail=jnp.zeros((1, tt, 2 * h, 2 * w, mid), dtype),
+            tail_base=jnp.zeros((), jnp.int32))
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def step(params, lrs, refs, state):

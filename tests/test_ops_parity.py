@@ -149,3 +149,34 @@ def test_gaussian_lowpass_matches_reference(rng):
     ref = conv(torch.nn.ReflectionPad2d(2)(to_nchw(x)))
     got = ops.gaussian_lowpass(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), from_torch(ref), atol=1e-6)
+
+
+def test_wide_im2col_conv_matches_native(rng):
+    import jax
+    from refvsr_tpu.ops.conv import wide_im2col_conv
+    for k, c, o in ((7, 8, 32), (7, 64, 32), (3, 16, 2)):
+        x = jnp.asarray(rng.standard_normal((2, 17, 23, c), dtype=np.float32))
+        w = jnp.asarray(rng.standard_normal((k, k, c, o),
+                                            dtype=np.float32)) * 0.1
+        b = jnp.asarray(rng.standard_normal(o, dtype=np.float32))
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((k // 2, k // 2),) * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = wide_im2col_conv(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_spynet_conv_formulation_same_params_and_output(rng, monkeypatch):
+    """REFVSR_SPYNET_CONV=im2col_w must keep the exact param tree and output
+    (SPyNet's 7x7 convs; checkpoint compatibility either way)."""
+    import jax
+    from refvsr_tpu.models import spynet as spynet_mod
+
+    x = jnp.asarray(rng.standard_normal((1, 12, 16, 8), dtype=np.float32))
+    m_ref = spynet_mod.SPyNetBasicModule()
+    params = m_ref.init(jax.random.PRNGKey(0), x)
+    want = m_ref.apply(params, x)
+    monkeypatch.setattr(spynet_mod, "_SPYNET_CONV", "im2col_w")
+    got = spynet_mod.SPyNetBasicModule().apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
