@@ -20,6 +20,8 @@ gradients either."""
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -29,6 +31,10 @@ from refvsr_tpu.models.blocks import BasicBlock, Conv2d, ResBlock, vgg_normalize
 from refvsr_tpu.models.vgg import VGGFeatures
 from refvsr_tpu.ops.patches import extract_patches, fold_non_overlapping, gather_patches
 from refvsr_tpu.ops.resize import resize, avg_pool_2x2
+
+
+_AFFINE_QUAD_BYTES = int(os.environ.get("REFVSR_AFFINE_QUAD_MB",
+                                         "1536")) << 20
 
 
 def _l2_normalize(x, axis, eps=1e-12):
@@ -204,11 +210,13 @@ def affine_bilinear_gather(xp, p_row, p_col):
     w10 = (1 - cy) * (g_rt + cx * g_rb)
     w11 = (1 - cx) * (1 - cy) * g_rb
 
-    # pair canvas above 1.5 GB: with the stream-path RAP cache this gather
-    # runs once per frame, so the quad's ~8% win isn't worth a second
-    # multi-GB transient next to the per-step UP-warp quad (HBM headroom)
+    # quad threshold knob (REFVSR_AFFINE_QUAD_MB): with the stream-path RAP
+    # cache this gather runs once per frame. The quad halves the gathered
+    # rows vs the pair fallback but costs a 3.2 GB transient at 1080p-HD-in
+    # next to the per-step UP-warp quad — A/B on-chip before raising the
+    # default (HBM headroom vs the measured 454 ms pair-path cost).
     canvas = build_corner_canvas(xp, ring=False,
-                                 max_quad_bytes=1536 << 20)
+                                 max_quad_bytes=_AFFINE_QUAD_BYTES)
     dt = xp.dtype
 
     def weighted(ltr, ltc, w00, w01, w10, w11):

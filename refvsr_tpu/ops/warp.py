@@ -30,11 +30,18 @@ transient HBM on a 16 GB chip.
 
 from __future__ import annotations
 
+import os
+
 import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
 _QUAD_CANVAS_BYTES = 3584 << 20
+# banded warp (ops/warp_banded.py): opt-in until measured on-chip. Applies
+# to zeros-mode n=1 warps above the pixel threshold; exact (falls back to
+# the quad path via lax.cond when a tile's flow range exceeds the window).
+_BANDED_WARP = os.environ.get("REFVSR_BANDED_WARP", "0") == "1"
+_BANDED_MIN_PIXELS = 1 << 18
 
 
 def _shift_left(x, axis):
@@ -139,6 +146,22 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     out = _spatial.maybe_sharded_sample(x, sx, sy, padding)
     if out is not None:
         return out
+    if (_BANDED_WARP and x.shape[0] == 1 and padding == "zeros"
+            and sx.shape[1] * sx.shape[2] >= _BANDED_MIN_PIXELS):
+        from refvsr_tpu.ops.warp_banded import banded_sample
+        fast, ok = banded_sample(x, sy, sx, padding=padding)
+        # exactness guard: banded only covers tiles whose flow range fits
+        # its static select window; anything else falls back whole-call
+        return lax.cond(
+            ok, lambda: fast,
+            lambda: _bilinear_sample_quad(x, sx, sy, padding))
+    return _bilinear_sample_quad(x, sx, sy, padding)
+
+
+def _bilinear_sample_quad(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
+                          padding: str) -> jnp.ndarray:
+    """Quad-canvas row-gather formulation (one gathered row per output
+    pixel; see module docstring)."""
     n, h, w, c = x.shape
     ho, wo = sx.shape[1], sx.shape[2]
     sx = sx.astype(jnp.float32)

@@ -1,0 +1,181 @@
+"""Block-diagonal "banded" gather — a row-count-bound-breaking formulation
+for bilinear-style sampling (see ops/warp.py for the quad-canvas baseline).
+
+TPU row gathers cost ~16-20 ns per gathered row regardless of row width
+(docs/ROUND1_NOTES.md), which makes per-pixel quad-canvas sampling ~8.3M
+rows (~150 ms) for the 1080p-HD-in 2x-grid UP warp. Real optical flows and
+affine sampling patterns are spatially smooth, so within a small output tile
+the source coords cluster:
+
+  1. Tile the output point grid (TH x TWO points).
+  2. Per tile, row-gather a source BAND of YB rows x NB col-blocks of XB
+     columns from a zero-padded source, anchored at the tile's min corner
+     DIAGONAL (min over the tile of y0 - expected_row / x0 - expected_col).
+     Anchors are exact integers, block-dynamic per tile. Gathered rows:
+     ~PIX * YB/(TH*XB), ~4-5x fewer than per-pixel.
+  3. Resolve each point's 2x2 corner block with a static select window:
+     out += w[oy,ox] * band[:, oy:oy+TH, ox:ox+TWO] over YSEL x XSEL
+     shifted static slices — pure VPU passes, zero gathers.
+  4. EXACT, never approximate: per-tile coverage is verified against the
+     true corner indices and every entry point returns (out, ok). Callers
+     wrap a `lax.cond(ok, ...)` falling back to the quad path, which only
+     fires when the intra-tile coord *range* exceeds the select window
+     (> XSEL-2 px across a TWO-point tile) — violent motion, not typical
+     video.
+
+Entry point: banded_sample — torch-grid_sample-parity bilinear warp
+(zeros/border), matching ops/warp._bilinear_sample. Reference:
+models/utils.py:35-43. (The affine gather was evaluated for this treatment
+too, but its stride-2 source grid halves the row savings while doubling
+band traffic — its cheap fix is the quad-canvas threshold instead.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+
+
+def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
+                 debug_stats=False):
+    """Shared banded gather machinery.
+
+    xs: (H, W, C) source (no batch; callers squeeze). y0i/x0i: (Ho, Wo)
+    int32 top-left corner anchors in source coords, guaranteed in
+    [0, H-1] x [0, W-1] (+1 reads may exit; they land in zero padding and
+    must carry zero weight). weights: 4-tuple of (Ho, Wo) f32 corner weights
+    (w00, w01, w10, w11). live: (Ho, Wo) bool — points excluded from anchor
+    mins AND from validity (their outputs are weight-0 garbage).
+
+    Returns (out (Ho, Wo, C) f32, ok scalar bool [, stats])."""
+    h, w, c = xs.shape
+    ho, wo = y0i.shape
+
+    xsel = xb + xsel_extra
+    yb = th + ysel
+    nb = -(-(two + xb + xsel - 2) // xb)
+
+    # Generous zero padding makes every anchor a real row/col; with the
+    # diagonal anchors below, band coverage is then guaranteed by
+    # construction and only ok_sel (select-window span) can fail.
+    top, left = th + 1, two + 1
+    wp_al = -(-(left + w + 1 + two + xb + xsel) // xb) * xb
+    hp = top + h + 1 + yb
+    xp = jnp.pad(xs, [(top, hp - top - h), (left, wp_al - left - w), (0, 0)])
+    nxb = wp_al // xb
+    flat = xp.reshape(hp * nxb, xb * c)
+    y0r = y0i + top
+    x0c = x0i + left
+
+    # tile grids (pad output to tile multiples)
+    ho_p = -(-ho // th) * th
+    wo_p = -(-wo // two) * two
+    pad_o = [(0, ho_p - ho), (0, wo_p - wo)]
+    nty, ntx = ho_p // th, wo_p // two
+    ntiles = nty * ntx
+
+    def tiles_of(a):
+        a = jnp.pad(a, pad_o)
+        return (a.reshape(nty, th, ntx, two).transpose(0, 2, 1, 3)
+                .reshape(ntiles, th, two))
+
+    live_t = tiles_of(live.astype(jnp.float32)) > 0    # pads to dead
+    y0r_t = tiles_of(y0r)
+    x0c_t = tiles_of(x0c)
+    w_t = [tiles_of(wi.astype(jnp.float32)) for wi in weights]
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ntiles, th, two), 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ntiles, th, two), 2)
+
+    # diagonal anchors: dead points excluded (a big sentinel keeps them out
+    # of the min without branching)
+    big = jnp.int32(1 << 28)
+    ky = jnp.min(jnp.where(live_t, y0r_t - rr, big), axis=(1, 2))
+    kxd = jnp.min(jnp.where(live_t, x0c_t - cc, big), axis=(1, 2))
+    all_dead = ky == big
+    ky = jnp.where(all_dead, 0, jnp.clip(ky, 0, hp - yb))
+    kxb = jnp.where(all_dead, 0,
+                    jnp.clip(kxd // xb, 0, nxb - nb)).astype(jnp.int32)
+
+    dy = y0r_t - ky[:, None, None] - rr            # in [0, ysel-2] if valid
+    dx = x0c_t - (kxb * xb)[:, None, None] - cc    # in [0, xsel-2] if valid
+    ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0) & (dx <= xsel - 2))
+    ok = jnp.all(ok_sel | ~live_t)
+
+    # ---- band gather: (ntiles, yb, nb) row ids -> (ntiles, yb, nb*xb, c)
+    jj = jnp.arange(yb, dtype=jnp.int32)
+    bb = jnp.arange(nb, dtype=jnp.int32)
+    rows = ((ky[:, None] + jj[None]) * nxb)[:, :, None] + \
+        (kxb[:, None] + bb[None])[:, None, :]                 # (nt, yb, nb)
+    band = jnp.take_along_axis(
+        flat[None], rows.reshape(1, -1, 1), axis=1, mode="clip")
+    band = band.reshape(ntiles, yb, nb * xb, c)
+
+    # ---- static select window: clamp dy/dx so dead points read *something*
+    # in-range (their weights are zero)
+    dy_c = jnp.clip(dy, 0, ysel - 2)
+    dx_c = jnp.clip(dx, 0, xsel - 2)
+    dead_f = 1.0 - live_t.astype(jnp.float32)
+
+    out = jnp.zeros((ntiles, th, two, c), jnp.float32)
+    for oy in range(ysel):
+        for ox in range(xsel):
+            cy = oy - dy_c
+            cx = ox - dx_c
+            wgt = (jnp.where((cy == 0) & (cx == 0), w_t[0], 0.0)
+                   + jnp.where((cy == 0) & (cx == 1), w_t[1], 0.0)
+                   + jnp.where((cy == 1) & (cx == 0), w_t[2], 0.0)
+                   + jnp.where((cy == 1) & (cx == 1), w_t[3], 0.0))
+            wgt = wgt * (1.0 - dead_f)
+            sl = lax.slice(band, (0, oy, ox, 0),
+                           (ntiles, oy + th, ox + two, c))
+            out = out + wgt[..., None] * sl.astype(jnp.float32)
+
+    out = out.reshape(nty, ntx, th, two, c).transpose(0, 2, 1, 3, 4)
+    out = out.reshape(ho_p, wo_p, c)[:ho, :wo]
+    if debug_stats:
+        return out, ok, {"ok_sel": jnp.mean(ok_sel.astype(jnp.float32)),
+                         "dy_max": jnp.max(jnp.where(live_t, dy, 0)),
+                         "dx_max": jnp.max(jnp.where(live_t, dx, 0))}
+    return out, ok
+
+
+def banded_sample(x, sy, sx, padding="zeros", th=8, two=128, xb=8,
+                  ysel=4, xsel_extra=4, debug_stats=False):
+    """Bilinear sample of x (1, H, W, C) at f32 source coords sy/sx
+    (1, Ho, Wo), matching ops/warp._bilinear_sample semantics. Returns
+    (out, ok): out is exact when ok is True; callers must fall back when it
+    is False."""
+    n, h, w, c = x.shape
+    assert n == 1, "stream path is n=1; vmap if needed"
+    dt = x.dtype
+    sy = sy.astype(jnp.float32)
+    sx = sx.astype(jnp.float32)
+    if padding == "border":
+        sy = jnp.clip(sy, 0.0, h - 1.0)
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+
+    y0 = jnp.floor(sy)[0]
+    x0 = jnp.floor(sx)[0]
+    ty = sy[0] - y0
+    tx = sx[0] - x0
+    # integer anchors in ring coords: pass a ring-padded source so that
+    # one-step-outside corners read exact zeros (grid_sample zeros mode)
+    y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1) + 1
+    x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1) + 1
+    xs = jnp.pad(x[0], [(1, 1), (1, 1), (0, 0)])
+
+    if padding == "zeros":
+        live = ((y0 >= -1.0) & (y0 <= h - 1.0)
+                & (x0 >= -1.0) & (x0 <= w - 1.0))
+    else:
+        live = jnp.ones(y0.shape, jnp.bool_)
+    lm = live.astype(jnp.float32)
+    weights = ((1.0 - ty) * (1.0 - tx) * lm, (1.0 - ty) * tx * lm,
+               ty * (1.0 - tx) * lm, ty * tx * lm)
+
+    res = _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel,
+                       xsel_extra, debug_stats)
+    out = res[0].astype(dt)[None]
+    return (out,) + tuple(res[1:])

@@ -41,140 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# --------------------------------------------------------------- prototype
-
-def banded_sample(x, sy, sx, padding="zeros", th=8, two=128, xb=8,
-                  ysel=4, xsel_extra=4, debug_stats=False):
-    """Bilinear sample of x (1, H, W, C) at f32 source coords sy/sx
-    (1, Ho, Wo), matching ops/warp._bilinear_sample semantics exactly when
-    the validity conditions hold (returns (out, ok) — caller is expected to
-    lax.cond on ok for the fallback).
-
-    Static knobs: TH x TWO output tile; XB col-block granularity; band is
-    YB = th + ysel rows by NB = ceil((two + xb + xsel_extra + xb - 2)/xb)
-    col-blocks; select window is YSEL x XSEL with XSEL = xb + xsel_extra.
-    """
-    n, h, w, c = x.shape
-    ho, wo = sy.shape[1], sy.shape[2]
-    assert n == 1, "stream path is n=1; vmap if needed"
-    dt = x.dtype
-    sy = sy.astype(jnp.float32)
-    sx = sx.astype(jnp.float32)
-    if padding == "border":
-        sy = jnp.clip(sy, 0.0, h - 1.0)
-        sx = jnp.clip(sx, 0.0, w - 1.0)
-
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    ty = (sy - y0)[0]
-    tx = (sx - x0)[0]
-    # integer anchors in ring coords (ring=1: one-step-outside reads zeros)
-    y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)[0] + 1   # (Ho, Wo)
-    x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1)[0] + 1
-
-    xsel = xb + xsel_extra
-    yb = th + ysel
-    nb = -(-(two + xb + xsel - 2) // xb)
-
-    # Generous zero padding makes every anchor a real row/col: ring (1) plus
-    # top th rows (a valid point at tile row rr can anchor th-1 rows above
-    # its source), bottom yb, left `two` cols (same in x), right to XB
-    # alignment with xsel+xb slack. With the diagonal anchors below, band
-    # coverage is then guaranteed by construction; only ok_sel (window span)
-    # can fail.
-    top, left = th + 1, two + 1
-    wp_al = -(-(left + w + 1 + two + xb + xsel) // xb) * xb
-    hp = top + h + 1 + yb
-    xp = jnp.pad(x[0], [(top, hp - top - h), (left, wp_al - left - w),
-                        (0, 0)])
-    nxb = wp_al // xb
-    flat = xp.reshape(hp * nxb, xb * c)
-    # shift anchors into padded coords (ring offset already applied above)
-    y0r = y0i + (top - 1)
-    x0c = x0i + (left - 1)
-
-    # tile grids (pad output to tile multiples)
-    ho_p = -(-ho // th) * th
-    wo_p = -(-wo // two) * two
-    pad_o = [(0, ho_p - ho), (0, wo_p - wo)]
-    nty, ntx = ho_p // th, wo_p // two
-    ntiles = nty * ntx
-
-    def tiles_of(a, **kw):
-        a = jnp.pad(a, pad_o, **kw)
-        return (a.reshape(nty, th, ntx, two).transpose(0, 2, 1, 3)
-                .reshape(ntiles, th, two))
-
-    if padding == "zeros":
-        valid_f = ((y0[0] >= -1.0) & (y0[0] <= h - 1.0)
-                   & (x0[0] >= -1.0) & (x0[0] <= w - 1.0))
-    else:
-        valid_f = jnp.ones((ho, wo), jnp.bool_)
-    vmask_t = tiles_of(valid_f.astype(jnp.float32))   # pads to 0 = masked
-    live = vmask_t > 0                                # real AND in-image
-
-    y0r_t = tiles_of(y0r)
-    x0c_t = tiles_of(x0c)
-    ty_t = tiles_of(ty)
-    tx_t = tiles_of(tx)
-
-    rr = jax.lax.broadcasted_iota(jnp.int32, (ntiles, th, two), 1)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (ntiles, th, two), 2)
-
-    # diagonal anchors: masked points excluded (a big sentinel keeps them out
-    # of the min without branching)
-    big = jnp.int32(1 << 28)
-    ky = jnp.min(jnp.where(live, y0r_t - rr, big), axis=(1, 2))
-    kxd = jnp.min(jnp.where(live, x0c_t - cc, big), axis=(1, 2))
-    all_dead = ky == big
-    ky = jnp.where(all_dead, 0, jnp.clip(ky, 0, hp - yb))
-    kxb = jnp.where(all_dead, 0,
-                    jnp.clip(kxd // xb, 0, nxb - nb)).astype(jnp.int32)
-
-    dy = y0r_t - ky[:, None, None] - rr            # in [0, ysel-2] if valid
-    dx = x0c_t - (kxb * xb)[:, None, None] - cc    # in [0, xsel-2] if valid
-    ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0) & (dx <= xsel - 2))
-    ok = jnp.all(ok_sel | ~live)
-
-    # ---- band gather: (ntiles, yb, nb) row ids -> (ntiles, yb, nb*xb, c)
-    jj = jnp.arange(yb, dtype=jnp.int32)
-    bb = jnp.arange(nb, dtype=jnp.int32)
-    rows = ((ky[:, None] + jj[None]) * nxb)[:, :, None] + \
-        (kxb[:, None] + bb[None])[:, None, :]                     # (nt, yb, nb)
-    band = jnp.take_along_axis(
-        flat[None], rows.reshape(1, -1, 1), axis=1, mode="clip")
-    band = band.reshape(ntiles, yb, nb * xb, c)
-
-    # ---- static select window
-    # clamp dy/dx so padded/invalid points read *something* in-range (their
-    # weights don't matter once the caller falls back on ~ok)
-    dy_c = jnp.clip(dy, 0, ysel - 2)
-    dx_c = jnp.clip(dx, 0, xsel - 2)
-    wy1 = ty_t.astype(jnp.float32)
-    wx1 = tx_t.astype(jnp.float32)
-    vmask = vmask_t
-
-    out = jnp.zeros((ntiles, th, two, c), jnp.float32)
-    for oy in range(ysel):
-        for ox in range(xsel):
-            # weight of window cell (oy, ox) for each point: bilinear weight
-            # of corner (oy-dy, ox-dx) when that offset is 0 or 1, else 0
-            cy = oy - dy_c
-            cx = ox - dx_c
-            wgt = (jnp.where(cy == 0, 1.0 - wy1, jnp.where(cy == 1, wy1, 0.0))
-                   * jnp.where(cx == 0, 1.0 - wx1,
-                               jnp.where(cx == 1, wx1, 0.0)) * vmask)
-            sl = lax.slice(band, (0, oy, ox, 0),
-                           (ntiles, oy + th, ox + two, c))
-            out = out + wgt[..., None] * sl.astype(jnp.float32)
-
-    out = out.astype(dt).reshape(nty, ntx, th, two, c).transpose(0, 2, 1, 3, 4)
-    out = out.reshape(1, ho_p, wo_p, c)[:, :ho, :wo]
-    if debug_stats:
-        return out, ok, {"ok_sel": jnp.mean(ok_sel.astype(jnp.float32)),
-                         "dy_max": jnp.max(jnp.where(live, dy, 0)),
-                         "dx_max": jnp.max(jnp.where(live, dx, 0))}
-    return out, ok
+# ---------------------------------------------------------------
+from refvsr_tpu.ops.warp_banded import banded_sample  # noqa: E402
 
 
 def banded_warp_like(x, flow):

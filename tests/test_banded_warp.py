@@ -1,0 +1,80 @@
+"""Banded bilinear warp (ops/warp_banded.py) parity vs the quad-canvas path.
+
+The banded formulation must be bit-compatible (up to f32 reassociation) with
+ops/warp._bilinear_sample for smooth flows, and must *report* invalidity —
+never silently mis-sample — when a tile's flow range exceeds its static
+select window. Also covers the REFVSR_BANDED_WARP integration: warp() output
+must be identical with the gate on (cond picks the banded branch) for smooth
+flows, and still correct (fallback branch) for violent flows."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+# refvsr_tpu.ops re-exports the warp *function*, shadowing the submodule
+# attribute — fetch the module from sys.modules for monkeypatching
+import sys
+
+from refvsr_tpu.ops.warp import warp
+
+warp_mod = sys.modules["refvsr_tpu.ops.warp"]
+from refvsr_tpu.ops.warp_banded import banded_sample
+
+
+def _smooth_flow(key, h, w, mag):
+    k1, k2 = jax.random.split(key)
+    base = jax.random.uniform(k1, (1, 1, 1, 2), minval=-mag, maxval=mag)
+    coarse = jax.random.uniform(k2, (1, 8, 8, 2), minval=-1.0, maxval=1.0)
+    sm = jax.image.resize(coarse, (1, h, w, 2), "bilinear")
+    return (base + sm * 0.01 * min(h, w)).astype(jnp.float32)
+
+
+@pytest.mark.parametrize("h,w,c,mag", [(40, 56, 8, 6.0), (41, 57, 3, 30.0),
+                                       (64, 96, 16, 20.0)])
+def test_banded_matches_quad(rng, h, w, c, mag):
+    key = jax.random.PRNGKey(h * 1000 + w)
+    kx, kf = jax.random.split(key)
+    x = jax.random.uniform(kx, (1, h, w, c), jnp.float32)
+    flow = _smooth_flow(kf, h, w, mag)
+    want = warp(x, flow)
+
+    # same coordinate transform as warp()
+    gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    fx, fy = flow[..., 0], flow[..., 1]
+    xn = gx[None] * (2.0 / (w - 1)) + fx * (2.0 / (w - 1)) - 1.0
+    yn = gy[None] * (2.0 / (h - 1)) + fy * (2.0 / (h - 1)) - 1.0
+    sx = ((xn + 1.0) * w - 1.0) * 0.5
+    sy = ((yn + 1.0) * h - 1.0) * 0.5
+
+    got, ok = banded_sample(x, sy, sx)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_banded_invalidates_on_violent_flow():
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (1, 64, 96, 4), jnp.float32)
+    wild = jax.random.uniform(key, (1, 64, 96, 2), minval=-40.0, maxval=40.0)
+    gy, gx = np.meshgrid(np.arange(64, dtype=np.float32),
+                         np.arange(96, dtype=np.float32), indexing="ij")
+    _, ok = banded_sample(x, gy[None] + wild[..., 1], gx[None] + wild[..., 0])
+    assert not bool(ok)
+
+
+def test_warp_gate_integration(monkeypatch):
+    """REFVSR_BANDED_WARP=1: warp() must match the ungated output for both a
+    smooth flow (banded branch taken) and a violent flow (cond fallback)."""
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (1, 48, 64, 8), jnp.float32)
+    smooth = _smooth_flow(key, 48, 64, 8.0)
+    wild = jax.random.uniform(key, (1, 48, 64, 2), minval=-30.0, maxval=30.0)
+
+    want_s, want_w = warp(x, smooth), warp(x, wild)
+    monkeypatch.setattr(warp_mod, "_BANDED_WARP", True)
+    monkeypatch.setattr(warp_mod, "_BANDED_MIN_PIXELS", 0)
+    np.testing.assert_allclose(np.asarray(warp(x, smooth)),
+                               np.asarray(want_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(warp(x, wild)),
+                               np.asarray(want_w), atol=2e-5)
