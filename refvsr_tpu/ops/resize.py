@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,32 +49,60 @@ def _axis_tables(in_size: int, out_size: int, mode: str, align_corners: bool,
     s = coord_scale if coord_scale is not None else in_size / out_size
 
     if mode == "nearest":
-        idx = np.floor(dst * s).astype(np.int64)
-        idx = np.clip(idx, 0, in_size - 1)
-        return idx[:, None], np.ones((out_size, 1), np.float32)
+        idx_raw = np.floor(dst * s).astype(np.int64)[:, None]
+        idx = np.clip(idx_raw, 0, in_size - 1)
+        ones = np.ones((out_size, 1), np.float32)
+        return idx, ones, idx_raw, ones
 
     if align_corners:
         src = dst * ((in_size - 1.0) / max(out_size - 1.0, 1.0))
+        src_raw = src
     else:
-        src = (dst + 0.5) * s - 0.5
+        src_raw = (dst + 0.5) * s - 0.5
+        src = src_raw
         if mode in ("bilinear", "linear"):
-            src = np.maximum(src, 0.0)
+            src = np.maximum(src_raw, 0.0)
 
-    if mode in ("bilinear", "linear"):
-        i0 = np.floor(src).astype(np.int64)
-        t = src - i0
-        idx = np.stack([i0, i0 + 1], axis=-1)
-        w = np.stack([1.0 - t, t], axis=-1)
-    elif mode == "bicubic":
-        i0 = np.floor(src).astype(np.int64)
-        t = src - i0
-        idx = np.stack([i0 - 1, i0, i0 + 1, i0 + 2], axis=-1)
-        w = _cubic_w(t)
-    else:
+    def tables(sv):
+        i0 = np.floor(sv).astype(np.int64)
+        t = sv - i0
+        if mode in ("bilinear", "linear"):
+            return (np.stack([i0, i0 + 1], axis=-1),
+                    np.stack([1.0 - t, t], axis=-1))
+        if mode == "bicubic":
+            return np.stack([i0 - 1, i0, i0 + 1, i0 + 2], axis=-1), _cubic_w(t)
         raise ValueError(f"unsupported resize mode: {mode}")
 
-    idx = np.clip(idx, 0, in_size - 1)
-    return idx, w.astype(np.float32)
+    idx, w = tables(src)
+    if src is src_raw:
+        idx_raw, w_raw = idx, w
+    else:
+        # unclamped variant for the periodic fast path: the linear src clamp
+        # at 0 only rewrites reads of (replicated) out-of-range taps, so the
+        # raw tables + replicate padding compute the same value (up to one
+        # final-rounding ulp at the first output row)
+        idx_raw, w_raw = tables(src_raw)
+    return (np.clip(idx, 0, in_size - 1), w.astype(np.float32), idx_raw,
+            w_raw.astype(np.float32))
+
+
+def _slice_axis(x, axis, start, length, stride=1):
+    # jnp basic indexing with stride > 1 lowers to a GATHER (iota indices) —
+    # use lax.slice, which keeps it a strided slice on TPU
+    import jax.lax as lax
+    starts = [0] * x.ndim
+    limits = list(x.shape)
+    strides = [1] * x.ndim
+    starts[axis] = start
+    limits[axis] = start + (length - 1) * stride + 1
+    strides[axis] = stride
+    return lax.slice(x, starts, limits, strides)
+
+
+def _replicate_pad_axis(x, axis, lo, hi):
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (lo, hi)
+    return jnp.pad(x, pads, mode="edge")
 
 
 def _interp_axis(x: jnp.ndarray, axis: int, in_size: int, out_size: int, mode: str,
@@ -83,8 +112,65 @@ def _interp_axis(x: jnp.ndarray, axis: int, in_size: int, out_size: int, mode: s
         # the coordinate map is the identity (integer src), which holds for s==1.
         if coord_scale in (None, 1.0):
             return x
-    idx, w = _axis_tables(in_size, out_size, mode, align_corners, coord_scale)
+    idx, w, idx_raw, w_raw = _axis_tables(in_size, out_size, mode,
+                                          align_corners, coord_scale)
     taps = idx.shape[1]
+
+    # Integer-factor fast paths: gathers with a PERIODIC index table are
+    # reorganized into shifted/strided slices + a phase interleave — TPU
+    # gathers along a small-minor-dim axis (flow 2ch, conf 1ch, RGB) hit a
+    # tiny-row path that costs orders of magnitude over the slice
+    # formulation. Exactness: the gate requires the raw index/weight tables
+    # to be bit-periodic, edge clamping is reproduced by replicate padding
+    # (identical reads), and the weights used are the table's own rows.
+    if out_size % in_size == 0 and out_size > in_size:
+        f = out_size // in_size
+        if (np.array_equal(idx_raw[f:], idx_raw[:-f] + 1)
+                and np.array_equal(w_raw[f:], w_raw[:-f])):
+            lo = max(0, int(-idx_raw.min()))
+            hi = max(0, int(idx_raw.max()) - (in_size - 1))
+            xp = _replicate_pad_axis(x, axis, lo, hi)
+            phases = []
+            for p in range(f):
+                acc = None
+                for k in range(taps):
+                    g = _slice_axis(xp, axis, int(idx_raw[p, k]) + lo, in_size)
+                    wk = jnp.asarray(w_raw[p, k], x.dtype)
+                    acc = g * wk if acc is None else acc + g * wk
+                phases.append(acc)
+            out = jnp.stack(phases, axis=axis + 1)   # (..., in, f, ...)
+            shp = list(x.shape)
+            shp[axis] = out_size
+            return out.reshape(shp)
+    if in_size % out_size == 0 and in_size > out_size:
+        f = in_size // out_size
+        if (np.array_equal(idx_raw[1:], idx_raw[:-1] + f)
+                and np.array_equal(w_raw[1:], w_raw[:-1])):
+            lo = max(0, int(-idx_raw.min()))
+            hi = max(0, int(idx_raw.max()) - (in_size - 1))
+            xp = _replicate_pad_axis(x, axis, lo, hi)
+            acc = None
+            for k in range(taps):
+                g = _slice_axis(xp, axis, int(idx_raw[0, k]) + lo, out_size,
+                                stride=f)
+                wk = jnp.asarray(w_raw[0, k], x.dtype)
+                acc = g * wk if acc is None else acc + g * wk
+            return acc
+
+    # Non-periodic (irregular) resample: contract a dense banded (out, in)
+    # weight table on the MXU instead of per-row gathers — the gather path
+    # along a small-minor-dim axis costs orders of magnitude more on TPU.
+    # The table rows hold the same 2/4 tap weights (accumulated at clamped
+    # duplicates), so values match the tap-sum up to matmul accumulation
+    # order; precision=HIGHEST keeps f32 inputs exact on the MXU.
+    if out_size * in_size <= (64 << 20):
+        wm = np.zeros((in_size, out_size), np.float32)
+        np.add.at(wm, (idx, np.arange(out_size, dtype=np.int64)[:, None]), w)
+        xm = jnp.moveaxis(x, axis, -1)
+        out = jnp.matmul(xm.astype(jnp.float32), jnp.asarray(wm),
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.moveaxis(out.astype(x.dtype), -1, axis)
+
     wshape = [1] * x.ndim
     wshape[axis] = out_size
     out = None

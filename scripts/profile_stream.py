@@ -361,6 +361,37 @@ def main():
                 mode="reflect").astype(jnp.float32))
         timeit("  AC reflect pad", reflectpad, canvas)
 
+    if "prop_batch" in parts:
+        # batch-scaling probe: the 4 backward chains of consecutive streamed
+        # frames are independent (each re-anchors at its window end), so if
+        # the cached prop step scales sublinearly in batch, restructuring the
+        # stream to process K output frames per dispatch (K*latency, same
+        # outputs) trades latency for throughput. n=4 time < ~3x n=1 time
+        # would justify the restructure.
+        def one_step(m, carry, x):
+            c, _ = m._prop_step("backward", False, carry, x)
+            return c
+
+        @jax.jit
+        def prop_all_keep(params, carry, x):
+            c = net.apply(params, carry, x, method=one_step)
+            return sum(jnp.sum(v.astype(jnp.float32)) for v in c)
+
+        for nb in (1, 2, 4):
+            carry_b = (img(nb, h, w, mid), img(nb, 2 * h, 2 * w, mid),
+                       img(nb, h, w, 1))
+            xb = {"lr": img(nb, h, w, 3), "conf": img(nb, h, w, 1),
+                  "flow": img(nb, h, w, 2),
+                  "aligned": img(nb, h, w, mid),
+                  "aligned_up": img(nb, 2 * h, 2 * w, mid)}
+            try:
+                timeit(f"prop CACHED ALL n={nb}", prop_all_keep, params,
+                       carry_b, xb, iters=4)
+            except Exception as e:
+                print(f"prop CACHED ALL n={nb} failed: {str(e)[:120]}")
+
+
+
     if "tail" in parts:
         @jax.jit
         def tail(params, feat):
