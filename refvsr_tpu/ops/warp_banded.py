@@ -48,7 +48,7 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
     (w00, w01, w10, w11). live: (Ho, Wo) bool — points excluded from anchor
     mins AND from validity (their outputs are weight-0 garbage).
 
-    Returns (out (Ho, Wo, C) f32, ok scalar bool [, stats])."""
+    Returns (out (Ho, Wo, C) in xs.dtype, ok scalar bool [, stats])."""
     h, w, c = xs.shape
     ho, wo = y0i.shape
 
@@ -113,12 +113,15 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
     band = band.reshape(ntiles, yb, nb * xb, c)
 
     # ---- static select window: clamp dy/dx so dead points read *something*
-    # in-range (their weights are zero)
+    # in-range (their weights are zero). Accumulate in the source dtype —
+    # mirrors the quad path's arithmetic (weights cast then dtype adds) and
+    # halves the accumulator HBM at the 8K shapes.
     dy_c = jnp.clip(dy, 0, ysel - 2)
     dx_c = jnp.clip(dx, 0, xsel - 2)
-    dead_f = 1.0 - live_t.astype(jnp.float32)
+    live_f = live_t.astype(jnp.float32)
+    dt = xs.dtype
 
-    out = jnp.zeros((ntiles, th, two, c), jnp.float32)
+    out = jnp.zeros((ntiles, th, two, c), dt)
     for oy in range(ysel):
         for ox in range(xsel):
             cy = oy - dy_c
@@ -127,10 +130,10 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
                    + jnp.where((cy == 0) & (cx == 1), w_t[1], 0.0)
                    + jnp.where((cy == 1) & (cx == 0), w_t[2], 0.0)
                    + jnp.where((cy == 1) & (cx == 1), w_t[3], 0.0))
-            wgt = wgt * (1.0 - dead_f)
+            wgt = (wgt * live_f).astype(dt)
             sl = lax.slice(band, (0, oy, ox, 0),
                            (ntiles, oy + th, ox + two, c))
-            out = out + wgt[..., None] * sl.astype(jnp.float32)
+            out = out + wgt[..., None] * sl
 
     out = out.reshape(nty, ntx, th, two, c).transpose(0, 2, 1, 3, 4)
     out = out.reshape(ho_p, wo_p, c)[:ho, :wo]
@@ -149,7 +152,6 @@ def banded_sample(x, sy, sx, padding="zeros", th=8, two=128, xb=8,
     is False."""
     n, h, w, c = x.shape
     assert n == 1, "stream path is n=1; vmap if needed"
-    dt = x.dtype
     sy = sy.astype(jnp.float32)
     sx = sx.astype(jnp.float32)
     if padding == "border":
@@ -177,5 +179,4 @@ def banded_sample(x, sy, sx, padding="zeros", th=8, two=128, xb=8,
 
     res = _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel,
                        xsel_extra, debug_stats)
-    out = res[0].astype(dt)[None]
-    return (out,) + tuple(res[1:])
+    return (res[0][None],) + tuple(res[1:])

@@ -78,3 +78,35 @@ def test_warp_gate_integration(monkeypatch):
                                np.asarray(want_s), atol=2e-5)
     np.testing.assert_allclose(np.asarray(warp(x, wild)),
                                np.asarray(want_w), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_stream_step_with_banded_gate(monkeypatch):
+    """Full streaming step with REFVSR_BANDED_WARP forced on must reproduce
+    the ungated stream output exactly (the banded branch feeds every prop
+    step's warps; smooth SPyNet-free flows keep it on the fast branch)."""
+    from refvsr_tpu.models.refvsr import RefVSRNet, init_stream_state
+
+    net = RefVSRNet(scale=4, num_blocks=2, mid_channels=8, matching_ksize=8,
+                    flag_HD_in=True, zero_flow=True)
+    key = jax.random.PRNGKey(11)
+    t, h, w = 7, 32, 48
+    lrs = jax.random.uniform(key, (1, t, h, w, 3), jnp.float32)
+    refs = jax.random.uniform(jax.random.fold_in(key, 1), (1, t, h, w, 3),
+                              jnp.float32)
+    state = init_stream_state(1, h, w, 8, num_frames=t)
+    params = net.init(key, lrs, refs, state)
+
+    def run():
+        out1, st, _ = net.apply(params, lrs, refs,
+                                method=RefVSRNet.forward_first)
+        out2, _, _ = net.apply(params, lrs, refs, st,
+                               method=RefVSRNet.forward_stream)
+        return out1, out2
+
+    want1, want2 = run()
+    monkeypatch.setattr(warp_mod, "_BANDED_WARP", True)
+    monkeypatch.setattr(warp_mod, "_BANDED_MIN_PIXELS", 0)
+    got1, got2 = run()
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=3e-5)
