@@ -180,3 +180,32 @@ def test_spynet_conv_formulation_same_params_and_output(rng, monkeypatch):
     monkeypatch.setattr(spynet_mod, "_SPYNET_CONV", "im2col_w")
     got = spynet_mod.SPyNetBasicModule().apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode,align,in_hw,ch,arg", [
+    # integer-factor periodic fast path, odd sizes and small channel counts
+    ("bicubic", False, (27, 31), 1, {"scale_factor": 4}),
+    ("bilinear", False, (27, 31), 2, {"scale_factor": 4}),
+    ("bicubic", False, (9, 11), 2, {"scale_factor": 8}),
+    ("bilinear", False, (26, 30), 1, {"scale_factor": 0.5}),
+    ("nearest", None, (27, 31), 2, {"scale_factor": 4}),
+    # irregular (matmul) path: align_corners=True x2 (SPyNet flow upsample),
+    # /32-multiple fitting (SPyNet input), arbitrary shrink
+    ("bilinear", True, (17, 23), 2, {"scale_factor": 2}),
+    ("bilinear", False, (27, 45), 3, {"size": (32, 64)}),
+    ("bilinear", False, (32, 64), 2, {"size": (27, 45)}),
+    ("bicubic", False, (21, 19), 1, {"size": (34, 50)}),
+])
+def test_resize_fast_paths_match_torch(rng, mode, align, in_hw, ch, arg):
+    """The periodic slice path and the MXU matmul path (ops/resize.py) must
+    both reproduce torch.nn.functional.interpolate on the shapes the model
+    actually uses (1/2-channel flow and confidence maps included)."""
+    x = rng.standard_normal((1, *in_hw, ch), dtype=np.float32)
+    tkw = dict(arg)
+    if mode != "nearest":
+        tkw["align_corners"] = align
+    ref = F.interpolate(to_nchw(x), mode=mode, **tkw)
+    got = ops.resize(jnp.asarray(x), mode=mode,
+                     align_corners=bool(align), **dict(arg))
+    np.testing.assert_allclose(np.asarray(got), from_torch(ref), atol=3e-5,
+                               rtol=1e-5)
