@@ -22,7 +22,8 @@ def np_resize(x: np.ndarray, size=None, scale_factor=None, mode="bicubic",
         sh, sw = 1.0 / sf[0], 1.0 / sf[1]
 
     def interp(arr, axis, in_size, out_size, cs):
-        idx, wgt = _axis_tables(in_size, out_size, mode, align_corners, cs)
+        idx, wgt = _axis_tables(in_size, out_size, mode, align_corners,
+                                cs)[:2]
         out = None
         for k in range(idx.shape[1]):
             g = np.take(arr, idx[:, k], axis=axis)

@@ -30,6 +30,34 @@ def _save_img(path, arr01):
         (np.clip(arr01, 0, 1) * 255).round().astype(np.uint8)).save(path)
 
 
+class ImageWriter:
+    """Background image encoder. An 8K PNG encode costs seconds of
+    single-core CPU; writing synchronously (as the reference does,
+    eval_qual_quan.py:99-129) serializes the accelerator behind the host.
+    A small thread pool overlaps encode/IO with the next frame's compute;
+    the bounded pending deque caps memory at a few frames. flush() re-raises
+    the first writer exception so failures aren't silent."""
+
+    def __init__(self, workers: int = 4, max_pending: int = 12):
+        import concurrent.futures
+        self._ex = concurrent.futures.ThreadPoolExecutor(workers)
+        self._pending = []
+        self._max = max_pending
+
+    def save(self, path, arr01):
+        while len(self._pending) >= self._max:
+            self._pending.pop(0).result()
+        self._pending.append(self._ex.submit(_save_img, path, arr01))
+
+    def flush(self):
+        while self._pending:
+            self._pending.pop(0).result()
+
+    def close(self):
+        self.flush()
+        self._ex.shutdown()
+
+
 def init_eval(config: Config):
     """Build trainer + load checkpoint + output dirs (evaluation/init.py:9-34)."""
     trainer = Trainer(config)
@@ -89,6 +117,7 @@ def eval_qual_quan(config: Config):
     trainer, ds, runner, save_root, score_root, ckpt_name = init_eval(config)
     t = config.frame_num
 
+    writer = ImageWriter()
     total_norm = 0
     psnr_total = ssim_total = time_total = 0.0
     psnr_v = ssim_v = time_v = 0.0
@@ -162,13 +191,14 @@ def eval_qual_quan(config: Config):
         if not config.EVAL.quantitative_only:
             stem = item["frame_name"].split(".")[0]
             for fmt in ("png", "jpg"):
-                _save_img(os.path.join(save_root, fmt, "input",
-                                       item["video_name"], f"{stem}.{fmt}"),
-                          item["LR_UW"][t // 2])
-                _save_img(os.path.join(save_root, fmt, "output",
-                                       item["video_name"], f"{stem}.{fmt}"),
-                          out)
+                writer.save(os.path.join(save_root, fmt, "input",
+                                         item["video_name"], f"{stem}.{fmt}"),
+                            item["LR_UW"][t // 2])
+                writer.save(os.path.join(save_root, fmt, "output",
+                                         item["video_name"], f"{stem}.{fmt}"),
+                            out)
 
+    writer.close()
     if total_norm:
         psnr_mean = (psnr_total + psnr_v) / total_norm
         ssim_mean = (ssim_total + ssim_v) / total_norm
@@ -302,6 +332,7 @@ def eval_quan_conf_map(config: Config, max_frames=None):
     t = config.frame_num
     import matplotlib.cm as cm
 
+    writer = ImageWriter()
     count = 0
     for i in range(len(ds)):
         if max_frames is not None and count >= max_frames:
@@ -318,9 +349,10 @@ def eval_quan_conf_map(config: Config, max_frames=None):
         for name, m in (("conf", conf_match), ("conf_prop", conf_prop),
                         ("conf_prop_bw", conf_bw), ("conf_prop_fw", conf_fw)):
             colored = cm.inferno(np.clip(m, 0, 1))[..., :3]
-            _save_img(os.path.join(save_root, "conf", item["video_name"],
-                                   f"{stem}_{name}.png"), colored)
+            writer.save(os.path.join(save_root, "conf", item["video_name"],
+                                     f"{stem}_{name}.png"), colored)
         count += 1
+    writer.close()
     return {"frames": count}
 
 

@@ -112,6 +112,12 @@ def _build_train_mesh(config, n_devices=None):
             print(f"# jax.distributed.initialize skipped: {e}",
                   file=sys.stderr)
     n = n_devices if n_devices is not None else len(jax.devices())
+    if n_devices is None:
+        # auto mode: shrink to the largest device count dividing the batch
+        # (batch 1 on an 8-device host trains single-device rather than
+        # erroring; an EXPLICIT --devices that doesn't divide still errors)
+        while n > 1 and config.batch_size % n:
+            n -= 1
     if n <= 1:
         return None
     if config.batch_size % n:

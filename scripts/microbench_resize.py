@@ -41,7 +41,8 @@ def timeit(name, fn, *args, iters=10, warmup=3):
 
 
 def dense_matrix(in_size, out_size, mode, align_corners, coord_scale, dtype):
-    idx, w = _axis_tables(in_size, out_size, mode, align_corners, coord_scale)
+    idx, w = _axis_tables(in_size, out_size, mode, align_corners,
+                          coord_scale)[:2]
     m = np.zeros((out_size, in_size), np.float32)
     for k in range(idx.shape[1]):
         np.add.at(m, (np.arange(out_size), idx[:, k]), w[:, k])
