@@ -80,12 +80,14 @@ def test_stream_matching_cache_matches_fresh(train_setup):
     cache-less path (conf_tail=None recomputes every tail matching)."""
     net, params, _, _, _ = train_setup
     key = jax.random.PRNGKey(2)
-    frames_lr = jax.random.uniform(key, (N, T + 2, H, W, 3))
+    # 5 streamed steps cross the RAP ring buffer's wrap boundary twice
+    # (TT = T - T//2 = 4 slots; base returns to 0 at step 4)
+    frames_lr = jax.random.uniform(key, (N, T + 5, H, W, 3))
     frames_ref = jax.random.uniform(jax.random.PRNGKey(3),
-                                    (N, T + 2, H, W, 3))
+                                    (N, T + 5, H, W, 3))
     _, state, _ = net.apply(params, frames_lr[:, :T], frames_ref[:, :T],
                             method=RefVSRNet.forward_first)
-    for s in range(1, 3):
+    for s in range(1, 6):
         lrs = frames_lr[:, s:s + T]
         refs = frames_ref[:, s:s + T]
         out_c, state_c, _ = net.apply(params, lrs, refs, state,
