@@ -8,6 +8,7 @@ parses score_*.txt keeps working."""
 from __future__ import annotations
 
 import datetime
+import functools
 import os
 import time
 from pathlib import Path
@@ -22,6 +23,24 @@ from refvsr_tpu.eval.metrics import psnr, psnr_masked, ssim, ssim_masked
 from refvsr_tpu.eval.stream import StreamRunner
 from refvsr_tpu.train.ckpt import CkptManager
 from refvsr_tpu.train.trainer import Trainer
+
+
+@functools.lru_cache(maxsize=8)
+def _device_downscale_fn(scale_inv: float):
+    """Jitted on-device bicubic downscale + clip for the HD-in metric
+    protocol (eval_qual_quan.py:84-92 computes metrics on the SR frame
+    downscaled by 1/scale). Computing it on device lets metrics-only eval
+    skip transferring the full 4x-8K frame (~16x fewer bytes)."""
+    import jax
+    from refvsr_tpu.ops.resize import resize as _resize
+
+    @jax.jit
+    def f(x):
+        import jax.numpy as jnp
+        return jnp.clip(_resize(x.astype(jnp.float32),
+                                scale_factor=scale_inv, mode="bicubic",
+                                align_corners=False), 0.0, 1.0)
+    return f
 
 
 def _save_img(path, arr01):
@@ -156,18 +175,30 @@ def eval_qual_quan(config: Config):
         lrs = item["LR_UW"][None, :t]
         refs = item["LR_REF_W"][None, :t]
         t0 = time.time()
-        sr, _ = runner.process(lrs, refs, is_first)
+        need_full = not config.EVAL.quantitative_only  # image dumps want 8K
+        out = out_cmp = None
+        if need_full or not config.flag_HD_in:
+            sr, _ = runner.process(lrs, refs, is_first)
+            out = sr[0]
+        else:
+            # metrics-only HD-in eval: downscale on device and transfer the
+            # small frame instead of the full 4x-8K one (~400 MB over the
+            # tunneled backend); same resize tables as np_resize
+            sr_dev, _ = runner.process_device(lrs, refs, is_first)
+            small = _device_downscale_fn(1.0 / config.scale)(sr_dev)
+            out_cmp = np.asarray(small[0], np.float32)
         itr_time = time.time() - t0
 
-        out = sr[0]
         gt = item["HR_UW"][t // 2]
         frame_psnr = frame_ssim = 0.0
         if not config.EVAL.qualitative_only:
-            if config.flag_HD_in:
-                out_cmp = np.clip(np_resize(out, scale_factor=1 / config.scale,
-                                            mode="bicubic"), 0, 1)
-            else:
-                out_cmp = out
+            if out_cmp is None:
+                if config.flag_HD_in:
+                    out_cmp = np.clip(
+                        np_resize(out, scale_factor=1 / config.scale,
+                                  mode="bicubic"), 0, 1)
+                else:
+                    out_cmp = out
             frame_psnr = psnr(out_cmp, gt)
             frame_ssim = ssim(out_cmp, gt)
 

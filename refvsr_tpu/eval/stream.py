@@ -36,9 +36,21 @@ class StreamRunner:
             t, self.keyframe_stride, None if is_first else self.kf_first)
         return jnp.asarray(mask)
 
+    def process_device(self, lrs: np.ndarray, refs: np.ndarray,
+                       is_first: bool):
+        """Like process() but returns the SR frame as a DEVICE array —
+        callers that only need metrics can reduce/downscale on device and
+        skip the full-size host transfer (a 4x-8K frame is ~400 MB over the
+        tunneled backend)."""
+        return self._process(lrs, refs, is_first)
+
     def process(self, lrs: np.ndarray, refs: np.ndarray, is_first: bool):
         """lrs/refs: (N, T, H, W, 3) float32 numpy. Returns (sr (N,4H,4W,3)
         numpy, conf_vis tuple). Handles first/reset/stream dispatch."""
+        out, conf = self._process(lrs, refs, is_first)
+        return np.asarray(out, np.float32), conf
+
+    def _process(self, lrs: np.ndarray, refs: np.ndarray, is_first: bool):
         if self.reset_branch is not None and self.count == self.reset_branch:
             is_first = True
         t = lrs.shape[1]
@@ -60,4 +72,4 @@ class StreamRunner:
                 out, self.state, conf = self.eval_stream(
                     self.params, lrs, refs, self.state)
         self.count += 1
-        return np.asarray(out, np.float32), conf
+        return out, conf

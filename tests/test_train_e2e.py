@@ -201,3 +201,28 @@ def test_training_reduces_loss(tiny_config):
             ts, errs, _ = tr.iteration(ts, loss_params, b)
             losses.append(errs["total"])
     assert np.mean(losses[-4:]) < np.mean(losses[:4]) * 0.9, losses
+
+
+def test_eval_device_downscale_metrics_path(fake_dataset, tmp_path_factory):
+    """HD-in + quantitative_only takes the device-downscale metrics path
+    (no full-frame host transfer); its scores must match the host
+    np_resize path on the same frames."""
+    from refvsr_tpu.eval.runner import eval_qual_quan
+
+    def cfg(quant_only):
+        log = tmp_path_factory.mktemp("logs_hdin")
+        c = get_config(
+            "RefVSR_MFID_8K", mode="tinytest8k", is_train=False,
+            data_offset=fake_dataset, log_offset=str(log),
+            batch_size=1, frame_num=3, num_blocks=2, mid_channels=8,
+            reset_branch=2, loss="1*L1", thread_num=0)
+        c = set_data_path(c, is_train=False)
+        assert c.flag_HD_in
+        c.EVAL.quantitative_only = quant_only
+        c.EVAL.vid_name = "0003"
+        return c
+
+    dev = eval_qual_quan(cfg(True))     # device-downscale path
+    host = eval_qual_quan(cfg(False))   # host np_resize path (+ dumps)
+    assert dev["PSNR"] == pytest.approx(host["PSNR"], abs=1e-3)
+    assert dev["SSIM"] == pytest.approx(host["SSIM"], abs=1e-4)
