@@ -274,14 +274,21 @@ def eval_quan_FOV(config: Config, max_frames=None):
         if item.get("is_continue"):
             continue
         t0 = time.time()
-        sr, _ = runner.process(item["LR_UW"][None, :t],
-                               item["LR_REF_W"][None, :t], item["is_first"])
-        itr_time = time.time() - t0
-        out = sr[0]
-        gt = item["HR_UW"][t // 2]
         if config.flag_HD_in:
-            out = np.clip(np_resize(out, scale_factor=1 / config.scale,
-                                    mode="bicubic"), 0, 1)
+            # FOV metrics always run on the 1/scale frame — downscale on
+            # device and skip the full 4x-8K host transfer
+            sr_dev, _ = runner.process_device(item["LR_UW"][None, :t],
+                                              item["LR_REF_W"][None, :t],
+                                              item["is_first"])
+            small = _device_downscale_fn(1.0 / config.scale)(sr_dev)
+            out = np.asarray(small[0], np.float32)
+        else:
+            sr, _ = runner.process(item["LR_UW"][None, :t],
+                                   item["LR_REF_W"][None, :t],
+                                   item["is_first"])
+            out = sr[0]
+        itr_time = time.time() - t0
+        gt = item["HR_UW"][t // 2]
         h, w, _ = out.shape
         for key in _FOV_KEYS:
             if key == 1.0:
