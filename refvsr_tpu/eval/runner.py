@@ -378,8 +378,11 @@ def eval_quan_conf_map(config: Config, max_frames=None):
         item = ds[i]
         if item.get("is_continue"):
             continue
-        sr, conf = runner.process(item["LR_UW"][None, :t],
-                                  item["LR_REF_W"][None, :t], item["is_first"])
+        # only the confidence maps are consumed — keep the SR frame on
+        # device (no 4x-frame transfer)
+        _, conf = runner.process_device(item["LR_UW"][None, :t],
+                                        item["LR_REF_W"][None, :t],
+                                        item["is_first"])
         conf_bw, conf_fw, conf_match = [np.asarray(c[0, ..., 0], np.float32)
                                         for c in conf]
         conf_prop = np.maximum(conf_bw, conf_fw)
