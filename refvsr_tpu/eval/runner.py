@@ -69,12 +69,20 @@ class ImageWriter:
         self._pending.append(self._ex.submit(_save_img, path, arr01))
 
     def flush(self):
+        err = None
         while self._pending:
-            self._pending.pop(0).result()
+            try:
+                self._pending.pop(0).result()
+            except Exception as e:  # drain everything, then surface first
+                err = err or e
+        if err is not None:
+            raise err
 
     def close(self):
-        self.flush()
-        self._ex.shutdown()
+        try:
+            self.flush()
+        finally:
+            self._ex.shutdown()
 
 
 def init_eval(config: Config):
@@ -137,99 +145,101 @@ def eval_qual_quan(config: Config):
     t = config.frame_num
 
     writer = ImageWriter()
-    total_norm = 0
-    psnr_total = ssim_total = time_total = 0.0
-    psnr_v = ssim_v = time_v = 0.0
-    frame_len_prev = 0
-    first_write = True
-    results_summary = {}
+    try:
+        total_norm = 0
+        psnr_total = ssim_total = time_total = 0.0
+        psnr_v = ssim_v = time_v = 0.0
+        frame_len_prev = 0
+        first_write = True
+        results_summary = {}
 
-    # multi-host: shard by WHOLE video so recurrent state stays process-local
-    # (data_sampler.py:31-43,64-72 semantics)
-    import jax
-    proc, nproc = jax.process_index(), jax.process_count()
+        # multi-host: shard by WHOLE video so recurrent state stays process-local
+        # (data_sampler.py:31-43,64-72 semantics)
+        import jax
+        proc, nproc = jax.process_index(), jax.process_count()
 
-    for i in range(len(ds)):
-        if nproc > 1 and ds.idx_video[i] % nproc != proc:
-            continue
-        item = ds[i]
-        if item.get("is_continue"):
-            frame_len_prev += 1
-            continue
-        is_first = item["is_first"]
+        for i in range(len(ds)):
+            if nproc > 1 and ds.idx_video[i] % nproc != proc:
+                continue
+            item = ds[i]
+            if item.get("is_continue"):
+                frame_len_prev += 1
+                continue
+            is_first = item["is_first"]
 
-        if is_first and i > 0 and frame_len_prev:
-            psnr_total += psnr_v
-            ssim_total += ssim_v
-            time_total += time_v
-            line = (f"[MEAN EVAL {config.mode}|{config.EVAL.data}|"
-                    f"{item['video_name']}] PSNR: {psnr_v / frame_len_prev:.5f}"
-                    f" SSIM: {ssim_v / frame_len_prev:.5f}"
-                    f" ({time_v / frame_len_prev:.5f}sec)\n\n")
-            print(line, end="")
+            if is_first and i > 0 and frame_len_prev:
+                psnr_total += psnr_v
+                ssim_total += ssim_v
+                time_total += time_v
+                line = (f"[MEAN EVAL {config.mode}|{config.EVAL.data}|"
+                        f"{item['video_name']}] PSNR: {psnr_v / frame_len_prev:.5f}"
+                        f" SSIM: {ssim_v / frame_len_prev:.5f}"
+                        f" ({time_v / frame_len_prev:.5f}sec)\n\n")
+                print(line, end="")
+                if not config.EVAL.qualitative_only:
+                    with open(_score_path(score_root, config), "a") as f:
+                        f.write(line)
+                psnr_v = ssim_v = time_v = 0.0
+
+            lrs = item["LR_UW"][None, :t]
+            refs = item["LR_REF_W"][None, :t]
+            t0 = time.time()
+            need_full = not config.EVAL.quantitative_only  # image dumps want 8K
+            out = out_cmp = None
+            if need_full or not config.flag_HD_in:
+                sr, _ = runner.process(lrs, refs, is_first)
+                out = sr[0]
+            else:
+                # metrics-only HD-in eval: downscale on device and transfer the
+                # small frame instead of the full 4x-8K one (~400 MB over the
+                # tunneled backend); same resize tables as np_resize
+                sr_dev, _ = runner.process_device(lrs, refs, is_first)
+                small = _device_downscale_fn(1.0 / config.scale)(sr_dev)
+                out_cmp = np.asarray(small[0], np.float32)
+            itr_time = time.time() - t0
+
+            gt = item["HR_UW"][t // 2]
+            frame_psnr = frame_ssim = 0.0
             if not config.EVAL.qualitative_only:
-                with open(_score_path(score_root, config), "a") as f:
-                    f.write(line)
-            psnr_v = ssim_v = time_v = 0.0
+                if out_cmp is None:
+                    if config.flag_HD_in:
+                        out_cmp = np.clip(
+                            np_resize(out, scale_factor=1 / config.scale,
+                                      mode="bicubic"), 0, 1)
+                    else:
+                        out_cmp = out
+                frame_psnr = psnr(out_cmp, gt)
+                frame_ssim = ssim(out_cmp, gt)
 
-        lrs = item["LR_UW"][None, :t]
-        refs = item["LR_REF_W"][None, :t]
-        t0 = time.time()
-        need_full = not config.EVAL.quantitative_only  # image dumps want 8K
-        out = out_cmp = None
-        if need_full or not config.flag_HD_in:
-            sr, _ = runner.process(lrs, refs, is_first)
-            out = sr[0]
-        else:
-            # metrics-only HD-in eval: downscale on device and transfer the
-            # small frame instead of the full 4x-8K one (~400 MB over the
-            # tunneled backend); same resize tables as np_resize
-            sr_dev, _ = runner.process_device(lrs, refs, is_first)
-            small = _device_downscale_fn(1.0 / config.scale)(sr_dev)
-            out_cmp = np.asarray(small[0], np.float32)
-        itr_time = time.time() - t0
+            psnr_v += frame_psnr
+            ssim_v += frame_ssim
+            time_v += itr_time
+            total_norm += 1
+            frame_len_prev = item["frame_len"]
 
-        gt = item["HR_UW"][t // 2]
-        frame_psnr = frame_ssim = 0.0
-        if not config.EVAL.qualitative_only:
-            if out_cmp is None:
-                if config.flag_HD_in:
-                    out_cmp = np.clip(
-                        np_resize(out, scale_factor=1 / config.scale,
-                                  mode="bicubic"), 0, 1)
-                else:
-                    out_cmp = out
-            frame_psnr = psnr(out_cmp, gt)
-            frame_ssim = ssim(out_cmp, gt)
+            line = (f"[EVAL {config.mode}|{config.EVAL.data}|{item['video_name']}]"
+                    f"[{item['video_idx'] + 1}/{item['video_len']}]"
+                    f"[{item['frame_idx'] + 1}/{item['frame_len']}] "
+                    f"{item['frame_name']} PSNR: {frame_psnr:.5f} "
+                    f"SSIM: {frame_ssim:.5f} ({itr_time:.5f}sec)")
+            print(line)
+            with open(_score_path(score_root, config),
+                      "w" if first_write else "a") as f:
+                f.write(line + "\n")
+            first_write = False
 
-        psnr_v += frame_psnr
-        ssim_v += frame_ssim
-        time_v += itr_time
-        total_norm += 1
-        frame_len_prev = item["frame_len"]
+            if not config.EVAL.quantitative_only:
+                stem = item["frame_name"].split(".")[0]
+                for fmt in ("png", "jpg"):
+                    writer.save(os.path.join(save_root, fmt, "input",
+                                             item["video_name"], f"{stem}.{fmt}"),
+                                item["LR_UW"][t // 2])
+                    writer.save(os.path.join(save_root, fmt, "output",
+                                             item["video_name"], f"{stem}.{fmt}"),
+                                out)
 
-        line = (f"[EVAL {config.mode}|{config.EVAL.data}|{item['video_name']}]"
-                f"[{item['video_idx'] + 1}/{item['video_len']}]"
-                f"[{item['frame_idx'] + 1}/{item['frame_len']}] "
-                f"{item['frame_name']} PSNR: {frame_psnr:.5f} "
-                f"SSIM: {frame_ssim:.5f} ({itr_time:.5f}sec)")
-        print(line)
-        with open(_score_path(score_root, config),
-                  "w" if first_write else "a") as f:
-            f.write(line + "\n")
-        first_write = False
-
-        if not config.EVAL.quantitative_only:
-            stem = item["frame_name"].split(".")[0]
-            for fmt in ("png", "jpg"):
-                writer.save(os.path.join(save_root, fmt, "input",
-                                         item["video_name"], f"{stem}.{fmt}"),
-                            item["LR_UW"][t // 2])
-                writer.save(os.path.join(save_root, fmt, "output",
-                                         item["video_name"], f"{stem}.{fmt}"),
-                            out)
-
-    writer.close()
+    finally:
+        writer.close()
     if total_norm:
         psnr_mean = (psnr_total + psnr_v) / total_norm
         ssim_mean = (ssim_total + ssim_v) / total_norm
@@ -371,29 +381,31 @@ def eval_quan_conf_map(config: Config, max_frames=None):
     import matplotlib.cm as cm
 
     writer = ImageWriter()
-    count = 0
-    for i in range(len(ds)):
-        if max_frames is not None and count >= max_frames:
-            break
-        item = ds[i]
-        if item.get("is_continue"):
-            continue
-        # only the confidence maps are consumed — keep the SR frame on
-        # device (no 4x-frame transfer)
-        _, conf = runner.process_device(item["LR_UW"][None, :t],
-                                        item["LR_REF_W"][None, :t],
-                                        item["is_first"])
-        conf_bw, conf_fw, conf_match = [np.asarray(c[0, ..., 0], np.float32)
-                                        for c in conf]
-        conf_prop = np.maximum(conf_bw, conf_fw)
-        stem = item["frame_name"].split(".")[0]
-        for name, m in (("conf", conf_match), ("conf_prop", conf_prop),
-                        ("conf_prop_bw", conf_bw), ("conf_prop_fw", conf_fw)):
-            colored = cm.inferno(np.clip(m, 0, 1))[..., :3]
-            writer.save(os.path.join(save_root, "conf", item["video_name"],
-                                     f"{stem}_{name}.png"), colored)
-        count += 1
-    writer.close()
+    try:
+        count = 0
+        for i in range(len(ds)):
+            if max_frames is not None and count >= max_frames:
+                break
+            item = ds[i]
+            if item.get("is_continue"):
+                continue
+            # only the confidence maps are consumed — keep the SR frame on
+            # device (no 4x-frame transfer)
+            _, conf = runner.process_device(item["LR_UW"][None, :t],
+                                            item["LR_REF_W"][None, :t],
+                                            item["is_first"])
+            conf_bw, conf_fw, conf_match = [np.asarray(c[0, ..., 0], np.float32)
+                                            for c in conf]
+            conf_prop = np.maximum(conf_bw, conf_fw)
+            stem = item["frame_name"].split(".")[0]
+            for name, m in (("conf", conf_match), ("conf_prop", conf_prop),
+                            ("conf_prop_bw", conf_bw), ("conf_prop_fw", conf_fw)):
+                colored = cm.inferno(np.clip(m, 0, 1))[..., :3]
+                writer.save(os.path.join(save_root, "conf", item["video_name"],
+                                         f"{stem}_{name}.png"), colored)
+            count += 1
+    finally:
+        writer.close()
     return {"frames": count}
 
 

@@ -195,16 +195,13 @@ def _bilinear_sample_quad(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     return outs[:, :ho]
 
 
-def warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """RefVSR's propagation warp (models/utils.py:35-43 semantics).
-
-    x: (N, H, W, C); flow: (N, Ho, Wo, 2) pixel-space (fx, fy). The output
-    spatial size follows the *flow* (the reference warps low-res features onto
-    a 2x grid at RefVSR.py:220,254 this way). Base grid is linspace(-1,1) over
-    the flow's grid, flow is normalized by the *input* half-extent, and the sum
-    is unnormalized with align_corners=False against the input extent; zeros
-    padding."""
-    n, h, w, _ = x.shape
+def warp_coords(in_hw, flow):
+    """Source pixel coords (sx, sy) of RefVSR's propagation warp
+    (models/utils.py:35-43): base grid linspace(-1,1) over the FLOW's grid,
+    flow normalized by the INPUT half-extent, unnormalized
+    align_corners=False against the input extent. Single source of truth —
+    the banded-warp bench and parity tests use it too."""
+    h, w = in_hw
     ho, wo = flow.shape[1], flow.shape[2]
     gy, gx = np.meshgrid(np.arange(ho, dtype=np.float32),
                          np.arange(wo, dtype=np.float32), indexing="ij")
@@ -215,6 +212,16 @@ def warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     yn = gy[None] * (2.0 / max(ho - 1, 1)) + fy * (2.0 / max(h - 1, 1)) - 1.0
     sx = ((xn + 1.0) * w - 1.0) * 0.5
     sy = ((yn + 1.0) * h - 1.0) * 0.5
+    return sx, sy
+
+
+def warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """RefVSR's propagation warp (models/utils.py:35-43 semantics).
+
+    x: (N, H, W, C); flow: (N, Ho, Wo, 2) pixel-space (fx, fy). The output
+    spatial size follows the *flow* (the reference warps low-res features onto
+    a 2x grid at RefVSR.py:220,254 this way); zeros padding."""
+    sx, sy = warp_coords(x.shape[1:3], flow)
     return _bilinear_sample(x, sx, sy, padding="zeros")
 
 

@@ -135,6 +135,10 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
                            (ntiles, oy + th, ox + two, c))
             out = out + wgt[..., None] * sl
 
+    # dead points must be EXACT zeros like the quad path's final mask —
+    # weight zeroing alone propagates NaN (non-finite coords give NaN
+    # weights, and NaN * 0 = NaN)
+    out = jnp.where(live_t[..., None], out, jnp.zeros((), dt))
     out = out.reshape(nty, ntx, th, two, c).transpose(0, 2, 1, 3, 4)
     out = out.reshape(ho_p, wo_p, c)[:ho, :wo]
     if debug_stats:

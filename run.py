@@ -112,10 +112,11 @@ def _build_train_mesh(config, n_devices=None):
             print(f"# jax.distributed.initialize skipped: {e}",
                   file=sys.stderr)
     n = n_devices if n_devices is not None else len(jax.devices())
-    if n_devices is None:
-        # auto mode: shrink to the largest device count dividing the batch
-        # (batch 1 on an 8-device host trains single-device rather than
-        # erroring; an EXPLICIT --devices that doesn't divide still errors)
+    if n_devices is None and jax.process_count() == 1:
+        # auto mode, single host: shrink to the largest device count dividing
+        # the batch (batch 1 on an 8-device host trains single-device rather
+        # than erroring). Multi-host keeps the strict divisibility error — a
+        # shrunk global-prefix mesh would exclude other hosts' devices.
         while n > 1 and config.batch_size % n:
             n -= 1
     if n <= 1:

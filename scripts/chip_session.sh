@@ -24,7 +24,7 @@ run attach 300 python -c "
 import jax, jax.numpy as jnp
 print(jax.devices())
 print(float((jnp.ones((256,256)) @ jnp.ones((256,256))).sum()))"
-grep -q "65536" "$OUT/attach.log" || { echo "TPU attach failed; aborting"; exit 1; }
+grep -q "16777216" "$OUT/attach.log" || { echo "TPU attach failed; aborting"; exit 1; }
 
 # 1. row-gather wall characterization (L-sweep + block8)
 run gather_wall 1800 python scripts/microbench_gather.py

@@ -46,17 +46,10 @@ from refvsr_tpu.ops.warp_banded import banded_sample  # noqa: E402
 
 
 def banded_warp_like(x, flow):
-    """warp() coordinate convention (ops/warp.py:175) on the banded sampler."""
-    n, h, w, _ = x.shape
-    ho, wo = flow.shape[1], flow.shape[2]
-    gy, gx = np.meshgrid(np.arange(ho, dtype=np.float32),
-                         np.arange(wo, dtype=np.float32), indexing="ij")
-    fx = flow[..., 0].astype(jnp.float32)
-    fy = flow[..., 1].astype(jnp.float32)
-    xn = gx[None] * (2.0 / max(wo - 1, 1)) + fx * (2.0 / max(w - 1, 1)) - 1.0
-    yn = gy[None] * (2.0 / max(ho - 1, 1)) + fy * (2.0 / max(h - 1, 1)) - 1.0
-    sx = ((xn + 1.0) * w - 1.0) * 0.5
-    sy = ((yn + 1.0) * h - 1.0) * 0.5
+    """warp() coordinate convention on the banded sampler (shared helper —
+    the coordinate math lives once in ops/warp.warp_coords)."""
+    from refvsr_tpu.ops.warp import warp_coords
+    sx, sy = warp_coords(x.shape[1:3], flow)
     return banded_sample(x, sy, sx, padding="zeros")
 
 

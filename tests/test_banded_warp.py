@@ -39,14 +39,8 @@ def test_banded_matches_quad(rng, h, w, c, mag):
     flow = _smooth_flow(kf, h, w, mag)
     want = warp(x, flow)
 
-    # same coordinate transform as warp()
-    gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
-                         np.arange(w, dtype=np.float32), indexing="ij")
-    fx, fy = flow[..., 0], flow[..., 1]
-    xn = gx[None] * (2.0 / (w - 1)) + fx * (2.0 / (w - 1)) - 1.0
-    yn = gy[None] * (2.0 / (h - 1)) + fy * (2.0 / (h - 1)) - 1.0
-    sx = ((xn + 1.0) * w - 1.0) * 0.5
-    sy = ((yn + 1.0) * h - 1.0) * 0.5
+    from refvsr_tpu.ops.warp import warp_coords
+    sx, sy = warp_coords((h, w), flow)
 
     got, ok = banded_sample(x, sy, sx)
     assert bool(ok)
@@ -110,3 +104,21 @@ def test_stream_step_with_banded_gate(monkeypatch):
     got1, got2 = run()
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=3e-5)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=3e-5)
+
+
+def test_banded_nonfinite_flow_matches_quad():
+    """A non-finite flow value (bf16 SPyNet overflow) must yield the quad
+    path's exact 0 at that pixel — not NaN — with validity still True
+    (the point is dead/masked, so no whole-call fallback is needed)."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.uniform(key, (1, 48, 64, 8), jnp.float32)
+    flow = _smooth_flow(key, 48, 64, 4.0)
+    flow = flow.at[0, 10, 20, 0].set(jnp.inf)
+    flow = flow.at[0, 30, 40, 1].set(jnp.nan)
+    want = warp(x, flow)
+    from refvsr_tpu.ops.warp import warp_coords
+    sx, sy = warp_coords((48, 64), flow)
+    got, ok = banded_sample(x, sy, sx)
+    assert bool(ok)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
