@@ -128,6 +128,31 @@ def main():
     # compile must not hang the whole benchmark (first compiles through the
     # tunnel take ~10-25 min; the persistent cache makes reruns fast)
     import subprocess
+
+    # preflight: a dead axon tunnel makes jax.devices() hang forever (seen
+    # as a multi-hour pool outage) — probe attach in short subprocesses so a
+    # down tunnel costs minutes, not 3x45min of size timeouts
+    attach_ok = False
+    for _ in range(8):
+        try:
+            pr = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jax.devices(); "
+                 "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"],
+                capture_output=True, text=True, timeout=150)
+            if "512" in pr.stdout:
+                attach_ok = True
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        print("# bench preflight: TPU attach failed, retrying",
+              file=sys.stderr)
+    if not attach_ok:
+        print(json.dumps({"metric": "stream_fps_8k", "value": 0.0,
+                          "unit": "fps", "vs_baseline": 0.0,
+                          "error": "TPU attach failed (tunnel down)"}))
+        return
+
     err = "no size succeeded"
     for h, w in sizes:
         try:
