@@ -84,7 +84,16 @@ def main():
     from refvsr_tpu.utils.precision import cast_floating
     params = cast_floating(params, dtype)
 
-    img = lambda *s: jax.random.uniform(key, s, dtype)
+    def img(*s):
+        # Device OOM here must not kill the whole profile run: earlier
+        # part-graphs keep executables + donated buffers alive in HBM.
+        try:
+            return jax.random.uniform(key, s, dtype)
+        except Exception:
+            jax.clear_caches()
+            import gc
+            gc.collect()
+            return jax.random.uniform(key, s, dtype)
 
     if "spynet_pair" in parts:
         @jax.jit
