@@ -96,7 +96,68 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
         out, state, acc = step(params, lrs, refs, state, acc)
     assert np.isfinite(float(acc))  # host sync: waits for the full chain
     dt = (time.perf_counter() - t0) / iters
+
+    # bench-scale numerics gate: after `iters` streamed windows the SR frame
+    # must be finite and non-degenerate (std>0 catches an all-zero/constant
+    # graph that isfinite alone would pass), and every float leaf of the
+    # carried stream state must still be finite. Computed on device; only
+    # scalars cross the tunnel.
+    of = out.astype(jnp.float32)
+    out_finite = bool(jnp.all(jnp.isfinite(of)))
+    out_std = float(jnp.std(of))
+    state_finite = all(
+        bool(jnp.all(jnp.isfinite(leaf)))
+        for leaf in jax.tree_util.tree_leaves(state)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating))
+    assert out_finite, "bench output contains non-finite values"
+    assert out_std > 0.0, "bench output is degenerate (zero std)"
+    assert state_finite, (
+        f"stream state non-finite after {iters + warmup} windows")
     return 1.0 / dt, out.shape
+
+
+def bench_train(patch=64, batch=1, frame_num=7, windows=3, iters=4,
+                num_blocks=30, mid_channels=48):
+    """Training throughput: optimizer steps/s on the flagship RefVSR_MFID
+    recipe (full loss incl. MFID contextual terms, patch 64, T=7 —
+    configs/config_RefVSR_MFID.py protocol; reference hot loop
+    trainers/trainer.py:158-188). `windows` caps frame_itr_num so the
+    compile count stays bounded through the tunnel; steps/s is averaged
+    over all window positions of `iters` batches."""
+    import jax
+    _enable_compile_cache()
+    import numpy as np
+
+    from refvsr_tpu.configs import get_config
+    from refvsr_tpu.train.trainer import Trainer
+
+    cfg = get_config("RefVSR_MFID", is_train=True, num_blocks=num_blocks,
+                     mid_channels=mid_channels, frame_num=frame_num,
+                     frame_itr_num=windows, patch_size=patch,
+                     batch_size=batch, spynet_ckpt=None, vgg19_ckpt=None)
+    trainer = Trainer(cfg)
+    t_total = frame_num + windows - 1
+    rng = np.random.default_rng(0)
+
+    def img(*s):
+        return rng.random(s, dtype=np.float32)
+
+    batch_d = {
+        "LR_UW": img(batch, t_total, patch, patch, 3),
+        "LR_REF_W": img(batch, t_total, 2 * patch, 2 * patch, 3),
+        "HR_UW": img(batch, t_total, 4 * patch, 4 * patch, 3),
+        "HR_REF_W": img(batch, t_total, 4 * patch, 4 * patch, 3),
+        "HR_REF_T": img(batch, t_total, 4 * patch, 4 * patch, 3),
+    }
+    ts, loss_params = trainer.init_state(batch_d)
+    ts, errs, _ = trainer.iteration(ts, loss_params, batch_d)  # compile
+    assert np.isfinite(errs["total"]), errs
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, errs, _ = trainer.iteration(ts, loss_params, batch_d)
+    assert np.isfinite(errs["total"]), errs
+    dt = (time.perf_counter() - t0) / (iters * windows)
+    return 1.0 / dt
 
 
 def _run_one(h, w):
@@ -122,6 +183,9 @@ def main():
     if len(sys.argv) == 3 and sys.argv[1] == "--size":
         h, w = (int(v) for v in sys.argv[2].split("x"))
         print(json.dumps(_run_one(h, w)))
+        return
+    if len(sys.argv) == 2 and sys.argv[1] == "--train":
+        print(json.dumps({"train_steps_per_s": round(bench_train(), 4)}))
         return
 
     # each size runs in a subprocess with a hard timeout: a wedged remote
@@ -153,8 +217,29 @@ def main():
                           "error": "TPU attach failed (tunnel down)"}))
         return
 
+    # training throughput leg (optimizer steps/s, flagship MFID recipe):
+    # merged into the main JSON line as an extra field so the driver's
+    # one-line contract holds
+    train_sps, tr = None, None
+    try:
+        tr = subprocess.run([sys.executable, __file__, "--train"],
+                            capture_output=True, text=True, timeout=2400)
+        for line in tr.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                train_sps = json.loads(line).get("train_steps_per_s")
+    except subprocess.TimeoutExpired:
+        pass
+    if train_sps is None:
+        with open("/root/repo/.bench_fail_train.log", "w") as f:
+            f.write(f"== stdout ==\n{tr.stdout if tr else ''}\n== stderr ==\n"
+                    f"{tr.stderr if tr else 'timeout'}\n")
+        print("# train bench failed (see .bench_fail_train.log)",
+              file=sys.stderr)
+
     err = "no size succeeded"
     for h, w in sizes:
+        log = f"/root/repo/.bench_fail_{h}x{w}.log"
         try:
             res = subprocess.run(
                 [sys.executable, __file__, "--size", f"{h}x{w}"],
@@ -162,9 +247,17 @@ def main():
             for line in res.stdout.splitlines():
                 line = line.strip()
                 if line.startswith("{"):
-                    print(line)
+                    rec = json.loads(line)
+                    if train_sps is not None:
+                        rec["train_steps_per_s"] = train_sps
+                    print(json.dumps(rec))
                     return
-            err = (res.stderr or res.stdout)[-200:]
+            # persist the FULL output so the real exception is never lost
+            # (round-2 postmortem: 200-char stderr tails destroyed the error)
+            with open(log, "w") as f:
+                f.write(f"== stdout ==\n{res.stdout}\n== stderr ==\n"
+                        f"{res.stderr}\n")
+            err = f"see {log}: " + (res.stderr or res.stdout)[-500:]
         except subprocess.TimeoutExpired:
             err = f"timeout at {h}x{w}"
         print(f"# bench at {h}x{w} failed: {err}", file=sys.stderr)

@@ -35,6 +35,10 @@ from refvsr_tpu.ops.resize import resize, avg_pool_2x2
 
 _AFFINE_QUAD_BYTES = int(os.environ.get("REFVSR_AFFINE_QUAD_MB",
                                          "1536")) << 20
+# AlignedConv2d head: row-tile above this many pixels (see _head_tiled)
+_HEAD_TILE_PIXELS = 1 << 22
+# affine gather: chunk the gathered corner temps above this many elements
+_AFFINE_CHUNK_ELEMS = 2 << 20
 
 
 def _l2_normalize(x, axis, eps=1e-12):
@@ -233,7 +237,7 @@ def affine_bilinear_gather(xp, p_row, p_col):
     total = int(np.prod(idx_shape[1:]))
     # bound the gathered corner temps; 2M rows -> the 544x960-scale call runs
     # unchunked (each chunk pays ~15 ms fixed gather cost on top of ~10 ns/row)
-    chunk_elems = 2 << 20
+    chunk_elems = _AFFINE_CHUNK_ELEMS
     if n * total <= chunk_elems:
         return weighted(*args).reshape(idx_shape + (c,))
 
@@ -250,11 +254,15 @@ def affine_bilinear_gather(xp, p_row, p_col):
     stacked = tuple(prep(a) for a in args)
 
     def step(_, xs):
-        # flattened chunks avoid the C->128 lane padding on the stacked output
-        return None, weighted(*xs).reshape(n, per * c)
+        # flatten FULLY to 1-D: (n=1, K) chunks would pad the size-1
+        # second-minor sublane dim 2x — a 768 MB AllocateBuffer in the
+        # round-2 1080p OOM report; (K,) chunks stack to (chunks, K) which
+        # tiles cleanly
+        return None, weighted(*xs).reshape(n * per * c)
 
-    _, outs = jax.lax.scan(step, None, stacked)  # (K, n, per*C)
-    outs = outs.transpose(1, 0, 2).reshape(n, num_chunks * per, c)
+    _, outs = jax.lax.scan(step, None, stacked)  # (K, n*per*C)
+    outs = outs.reshape(num_chunks, n, per, c).transpose(1, 0, 2, 3)
+    outs = outs.reshape(n, num_chunks * per, c)
     return outs[:, :total].reshape(idx_shape + (c,))
 
 
@@ -267,7 +275,10 @@ class AlignedConv2d(nn.Module):
 
     def setup(self):
         # head: conv5x5(3->32), lrelu, ResBlock(32), lrelu     (alignment.py:18)
-        self.conv1_0 = Conv2d(32, kernel_size=5, name="conv1_0")
+        # in_features=3 enables the params-only declare path the row-tiled
+        # head uses (identical param tree either way)
+        self.conv1_0 = Conv2d(32, kernel_size=5, in_features=3,
+                              name="conv1_0")
         self.conv1_res = ResBlock(32, name="conv1_res")
         # head2: conv5x5(64->32, stride), lrelu, ResBlock, lrelu, conv1x1(32->3)
         self.p_conv_0 = Conv2d(32, kernel_size=5, stride=self.stride,
@@ -276,9 +287,67 @@ class AlignedConv2d(nn.Module):
         self.p_conv_out = Conv2d(3, kernel_size=1, name="p_conv_out")
 
     def _head(self, img):
+        if img.shape[0] * img.shape[1] * img.shape[2] >= _HEAD_TILE_PIXELS:
+            tiled = self._head_tiled(img)
+            if tiled is not None:
+                return tiled
         x = lrelu(self.conv1_0(img), 0.2)
         x = lrelu(self.conv1_res(x), 0.2)
         return x
+
+    def _head_tiled(self, img):
+        """Row-tiled head for big canvases. At the 1080p-HD 2x canvas
+        (2160x3840) XLA lays the 32-channel head intermediates out with the
+        channel dim minor, padding each 507 MB buffer 4x to 1.98 GB — four
+        of them were live at once in the round-3 OOM report. Same tiling +
+        mask discipline as RefVSRNet._tail_tiled: out-of-image halo rows are
+        re-zeroed after every biased op so tile edges see exactly the 'same'
+        zero padding the direct path sees. Receptive field = conv5 (2 rows)
+        + 2x conv3 (1 each) = 4 rows = halo. Verified == direct in tests."""
+        n, h, w, _ = img.shape
+        halo = 4
+        num_chunks = next((k for k in (8, 6, 4, 2, 1)
+                           if h % k == 0 and h // k >= halo), 1)
+        if num_chunks == 1:
+            return None
+        chunk = h // num_chunks
+        padded = jnp.pad(img, [(0, 0), (halo, halo), (0, 0), (0, 0)])
+        tiles = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(padded, i * chunk,
+                                          chunk + 2 * halo, axis=1)
+             for i in range(num_chunks)], 0)
+        tile_rows = chunk + 2 * halo
+        masks = np.zeros((num_chunks, tile_rows), np.float32)
+        for i in range(num_chunks):
+            g = i * chunk - halo + np.arange(tile_rows)
+            masks[i] = ((g >= 0) & (g < h)).astype(np.float32)
+        masks = jnp.asarray(masks, img.dtype)
+
+        def conv(x, kb, k):
+            kernel, bias = kb
+            p = k // 2
+            out = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (1, 1), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=x.dtype)
+            return out + bias.astype(x.dtype)
+
+        def step(mdl, carry, xs):
+            tile, m = xs
+            m = m[None, :, None, None]
+            kb0 = mdl.conv1_0(None)           # params-only declare
+            kb1, kb2 = mdl.conv1_res(None)
+            y = lrelu(conv(tile, kb0, 5), 0.2) * m
+            r = lrelu(conv(y, kb1, 3), 0.2) * m
+            r = conv(r, kb2, 3) * m           # ResBlock: c2(lrelu(c1)) + x
+            y = lrelu(r + y, 0.2) * m
+            return carry, y[:, halo: halo + chunk]
+
+        _, outs = nn.scan(step, variable_broadcast="params",
+                          split_rngs={"params": False})(self, None,
+                                                        (tiles, masks))
+        outs = outs.transpose(1, 0, 2, 3, 4)
+        return outs.reshape(n, h, w, outs.shape[-1])
 
     def __call__(self, x, query, ref):
         """x: warped canvas (N, Hx, Wx, C); query: lr (N, Hx/2, Wx/2, 3);

@@ -68,7 +68,19 @@ def build_corner_canvas(x: jnp.ndarray, ring: bool,
         xp = x
     hp, wp = xp.shape[1], xp.shape[2]
     budget = _QUAD_CANVAS_BYTES if max_quad_bytes is None else max_quad_bytes
-    quad_ok = 4 * hp * wp * c * xp.dtype.itemsize * n <= budget
+    # Budget the canvas at its REAL HBM cost, not the unpadded byte count:
+    # the minor (lane) dim tiles to multiples of 128, so 4C=192 lanes at C=48
+    # pads 1.33x; and XLA materializes the (n, hp*wp, 4C) gather operand as a
+    # layout-change copy of the concat, so the canvas is resident TWICE while
+    # the copy runs. Round-2 postmortem (BENCH_r02 -> .bench_fail log): the
+    # unpadded estimate said 3.19 GB for the 1080p-HD 2x UP warp; the chip's
+    # allocation report showed 3.97 GB (padding) + 3.96 GB (reshape copy) and
+    # the stream graph OOMed at 16.39/15.75 GB.
+    def _real_cost(lanes):
+        lanes_pad = -(-lanes // 128) * 128
+        return 2 * n * hp * wp * lanes_pad * xp.dtype.itemsize
+
+    quad_ok = _real_cost(4 * c) <= budget
     pair = jnp.concatenate([xp, _shift_left(xp, 2)], -1)          # 2C
     if quad_ok:
         quad = jnp.concatenate([pair, _shift_left(pair, 1)], -1)  # 4C
@@ -186,12 +198,17 @@ def _bilinear_sample_quad(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     def step(_, coords):
         cx, cy = coords
         out = _bilinear_sample_chunk(canvas, h, w, x.dtype, cx, cy, padding)
-        # flatten: a stacked (..., wo, C) scan output would carry the C->128
-        # lane padding (2.67x HBM at C=48); 1-D chunks tile cleanly
-        return None, out.reshape(n, rows_per * wo * c)
+        # flatten FULLY to 1-D: a stacked (..., wo, C) scan output would carry
+        # the C->128 lane padding (2.67x HBM at C=48), and a (n=1, K) chunk
+        # would pad the size-1 second-minor sublane dim 2x (the 1.5 GB
+        # AllocateBuffer in the round-2 1080p OOM report) — (K,) chunks stack
+        # to (chunks, K) which tiles cleanly
+        return None, out.reshape(n * rows_per * wo * c)
 
     _, outs = lax.scan(step, None, (sx_t, sy_t))
-    outs = outs.transpose(1, 0, 2).reshape(n, num_chunks * rows_per, wo, c)
+    outs = outs.reshape(num_chunks, n, rows_per, wo, c)
+    outs = outs.transpose(1, 0, 2, 3, 4).reshape(n, num_chunks * rows_per,
+                                                 wo, c)
     return outs[:, :ho]
 
 

@@ -87,13 +87,17 @@ def main():
     def img(*s):
         # Device OOM here must not kill the whole profile run: earlier
         # part-graphs keep executables + donated buffers alive in HBM.
+        # block_until_ready surfaces async-dispatched alloc failures HERE
+        # rather than at a later float(); only runtime (RESOURCE_EXHAUSTED
+        # class) errors get the clear_caches+retry — a shape/dtype bug
+        # should raise immediately, not evict every compiled executable.
         try:
-            return jax.random.uniform(key, s, dtype)
-        except Exception:
+            return jax.block_until_ready(jax.random.uniform(key, s, dtype))
+        except jax.errors.JaxRuntimeError:
             jax.clear_caches()
             import gc
             gc.collect()
-            return jax.random.uniform(key, s, dtype)
+            return jax.block_until_ready(jax.random.uniform(key, s, dtype))
 
     if "spynet_pair" in parts:
         @jax.jit

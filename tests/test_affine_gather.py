@@ -67,3 +67,40 @@ def test_affine_gather_matches_reference_formula(rng):
                                  jnp.asarray(p_col))
     want = _oracle(xp, p_row, p_col)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_head_tiled_parity(rng, monkeypatch):
+    """AlignedConv2d._head row-tiled == direct (bit-exact): the tiled path
+    re-zeros out-of-image halo rows after every biased op, so tile edges see
+    exactly the 'same' zero padding the direct path sees."""
+    import jax
+    import refvsr_tpu.models.matching as M
+    from refvsr_tpu.models.matching import AlignedConv2d
+
+    net = AlignedConv2d(kernel_size=2, stride=2)
+    img = jnp.asarray(rng.standard_normal((1, 48, 20, 3)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), img, method=AlignedConv2d._head)
+
+    direct = net.apply(params, img, method=AlignedConv2d._head)
+    monkeypatch.setattr(M, "_HEAD_TILE_PIXELS", 1)
+    tiled = net.apply(params, img, method=AlignedConv2d._head)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(direct),
+                               rtol=0, atol=2e-6)
+
+    # non-divisible height falls back to direct (num_chunks == 1 -> None)
+    img2 = jnp.asarray(rng.standard_normal((1, 7, 20, 3)).astype(np.float32))
+    d2 = net.apply(params, img2, method=AlignedConv2d._head)
+    assert d2.shape == (1, 7, 20, 32)
+
+
+def test_affine_gather_chunked_parity(rng, monkeypatch):
+    """The chunked scan path (1-D flattened chunks) == unchunked."""
+    import refvsr_tpu.models.matching as M
+    x = jnp.asarray(rng.standard_normal((1, 20, 12, 5)).astype(np.float32))
+    pr = jnp.asarray((rng.random((1, 9, 6, 4)) * 21).astype(np.float32))
+    pc = jnp.asarray((rng.random((1, 9, 6, 4)) * 13).astype(np.float32))
+    ref = affine_bilinear_gather(x, pr, pc)
+    monkeypatch.setattr(M, "_AFFINE_CHUNK_ELEMS", 64)
+    chunked = affine_bilinear_gather(x, pr, pc)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref),
+                               rtol=0, atol=1e-6)
