@@ -58,6 +58,13 @@ class Config:
     resume_abs: Optional[str] = None
     note: Optional[str] = None
 
+    # multi-chip spatial serving (TPU-native; no reference equivalent — the
+    # reference scales 8K by GPU capacity, README.md:116). When > 1, eval
+    # builds a (data=1, spatial=N) mesh and H-shards frames across chips
+    # (parallel/serve.py).
+    spatial_devices: int = 1
+    spatial_halo: int = 32
+
     # training (config.py:31-67 + variants)
     trainer: str = "trainer"
     network: str = "RefVSR"

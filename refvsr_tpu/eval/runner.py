@@ -111,12 +111,16 @@ def init_eval(config: Config):
         cm = CkptManager(os.path.join(config.log_dir, "checkpoint", "train",
                                       "epoch"), config.mode,
                          max_files_to_keep=config.max_ckpt_num)
+        explicit = bool(ev.ckpt_abs_name or ev.ckpt_name
+                        or ev.ckpt_epoch is not None)
         try:
             params, ckpt_name = cm.load_params(
                 params, by_score=ev.load_ckpt_by_score, name=ev.ckpt_name,
                 abs_path=ev.ckpt_abs_name, epoch=ev.ckpt_epoch)
         except FileNotFoundError:
-            pass
+            if explicit:  # a named checkpoint that doesn't exist is an error
+                raise
+
 
     date = datetime.datetime.now().strftime("%Y_%m_%d_%H%M")
     save_root = os.path.join(config.result_dir, config.EVAL.data,
@@ -124,19 +128,40 @@ def init_eval(config: Config):
     score_root = save_root
     Path(save_root).mkdir(parents=True, exist_ok=True)
 
-    ef, es = trainer.eval_fns
+    kf_stride = (config.keyframe_stride
+                 if config.network == "RefVSR_IR" else None)
+    if getattr(config, "spatial_devices", 1) > 1:
+        # multi-chip spatial serving: H-shard frames over a (1, N) mesh;
+        # graphs AOT-compiled inside the trace-scoped spatial ctx so the
+        # steady loop touches no global state (parallel/serve.py)
+        from refvsr_tpu.parallel.serve import (build_spatial_mesh,
+                                               spatial_eval_fns)
+        mesh = build_spatial_mesh(config.spatial_devices)
+        t = config.frame_num
+        lrs_shape = (1, t) + sample["LR_UW"].shape[1:]
+        refs_shape = (1, t) + sample["LR_REF_W"].shape[1:]
+        ef, es, _, params = spatial_eval_fns(
+            trainer.net, params, mesh, config.spatial_halo,
+            lrs_shape, refs_shape, compute_dtype=trainer.compute_dtype,
+            keyframe_stride=kf_stride)
+    else:
+        ef, es = trainer.eval_fns
     runner = StreamRunner(
         trainer.net, params, config.reset_branch, ef, es,
         compute_dtype=trainer.compute_dtype,
-        keyframe_stride=(config.keyframe_stride
-                         if config.network == "RefVSR_IR" else None))
+        keyframe_stride=kf_stride)
     return trainer, ds, runner, save_root, score_root, ckpt_name
 
 
 def _score_path(score_root, config):
+    """Multi-host runs shard score files per process (videos round-robin by
+    rank, eval/runner.py sharding below) so appends never race; single-host
+    keeps the reference's exact filename (eval_qual_quan.py:99-101)."""
+    import jax
+    tag = f"_p{jax.process_index()}" if jax.process_count() > 1 else ""
     return os.path.join(
         score_root,
-        f"score_{config.EVAL.data}_{config.EVAL.eval_mode}.txt")
+        f"score_{config.EVAL.data}_{config.EVAL.eval_mode}{tag}.txt")
 
 
 def eval_qual_quan(config: Config):
@@ -171,8 +196,12 @@ def eval_qual_quan(config: Config):
                 psnr_total += psnr_v
                 ssim_total += ssim_v
                 time_total += time_v
+                # reference prints the triggering item's raw video_idx
+                # (eval_qual_quan.py:47 — no +1, unlike per-frame lines)
                 line = (f"[MEAN EVAL {config.mode}|{config.EVAL.data}|"
-                        f"{item['video_name']}] PSNR: {psnr_v / frame_len_prev:.5f}"
+                        f"{item['video_name']}]"
+                        f"[{item['video_idx']}/{item['video_len']}]"
+                        f" PSNR: {psnr_v / frame_len_prev:.5f}"
                         f" SSIM: {ssim_v / frame_len_prev:.5f}"
                         f" ({time_v / frame_len_prev:.5f}sec)\n\n")
                 print(line, end="")

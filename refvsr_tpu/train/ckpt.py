@@ -109,8 +109,17 @@ class CkptManager:
         else:
             file_name = self._file_name(int(epoch))
             path = os.path.join(self.dir_ckpt, file_name)
-        with open(path, "rb") as f:
-            params = fser.from_bytes(template, f.read())
+        if path.endswith((".pytorch", ".pth", ".pt")):
+            # published torch checkpoints load through the converter, exactly
+            # like serving (reference loads them natively,
+            # ckpt_manager.py:22-60, incl. stripping DDP 'module.' prefixes)
+            from refvsr_tpu.utils.convert import (convert_state_dict,
+                                                  load_torch_checkpoint)
+            sd = load_torch_checkpoint(path)
+            params, _, _ = convert_state_dict(sd, template, strict=False)
+        else:
+            with open(path, "rb") as f:
+                params = fser.from_bytes(template, f.read())
         return params, file_name
 
     def load_train_state(self, template, epoch):

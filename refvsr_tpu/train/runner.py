@@ -47,10 +47,15 @@ class Runner:
         self.ckpt = CkptManager(
             os.path.join(config.log_dir, "checkpoint", "train", "epoch"),
             config.mode, max_files_to_keep=config.max_ckpt_num)
+        # multi-host: all file writes (config/source snapshots, cost.txt, TB,
+        # checkpoints, samples) happen on process 0 only — reference guards
+        # rank 0 the same way (run.py:128-136, :313-317)
+        self.is_main = rank == 0
         Path(config.log_dir).mkdir(parents=True, exist_ok=True)
-        save_config(config, os.path.join(config.log_dir, "config",
-                                         "config.json"))
-        self._snapshot_sources()
+        if self.is_main:
+            save_config(config, os.path.join(config.log_dir, "config",
+                                             "config.json"))
+            self._snapshot_sources()
         self._tb = None
         self._vis_fn = None
         self.ts: TrainState | None = None
@@ -73,24 +78,37 @@ class Runner:
             except OSError:
                 pass
 
+    class _NullWriter:
+        def add_scalar(self, *a, **k):
+            pass
+
+        def close(self):
+            pass
+
     @property
     def tb(self):
         if self._tb is None:
-            from torch.utils.tensorboard import SummaryWriter
-            self._tb = SummaryWriter(
-                os.path.join(self.config.log_dir, "log", "train", "scalar"))
+            if not self.is_main:
+                self._tb = Runner._NullWriter()
+            else:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(
+                    os.path.join(self.config.log_dir, "log", "train",
+                                 "scalar"))
         return self._tb
 
     def _init_params(self):
         batch = next(iter(self.loader))
         self.ts, self.loss_params = self.trainer.init_state(batch)
         # complexity report (trainers/trainer.py:85-100 cost.txt equivalent)
-        from refvsr_tpu.utils.profiling import write_cost_report
-        try:
-            write_cost_report(os.path.join(self.config.log_dir, "cost.txt"),
-                              self.ts.params)
-        except OSError:
-            pass
+        if self.is_main:
+            from refvsr_tpu.utils.profiling import write_cost_report
+            try:
+                write_cost_report(
+                    os.path.join(self.config.log_dir, "cost.txt"),
+                    self.ts.params)
+            except OSError:
+                pass
         return batch
 
     def resume(self, epoch: int):
@@ -135,7 +153,10 @@ class Runner:
                 itr = int(self.ts.step)
                 if itr % max(1, cfg.write_log_every_itr_train) < \
                         cfg.frame_itr_num:
-                    print(format_train_line(
+                    # cursor-rewriting on a TTY (reference print_logs
+                    # refresh mode, utils.py:52-104); plain lines when piped
+                    from refvsr_tpu.utils.console import print_status
+                    print_status(format_train_line(
                         cfg.mode, epoch, itr, itr_per_epoch, errs,
                         self.trainer.current_lr(self.ts),
                         time.time() - t_batch))
@@ -156,11 +177,14 @@ class Runner:
                     int(self.ts.step) >= total_itr:
                 val_psnr = self.validate()
                 self.tb.add_scalar("valid_epoch/PSNR", val_psnr, epoch)
-                self.ckpt.save(
-                    self.ts.params,
-                    {"opt_state": self.ts.opt_state,
-                     "step": np.asarray(self.ts.step), "epoch": epoch},
-                    epoch, val_psnr)
+                if self.is_main:  # rank-0-only save (run.py:128-136)
+                    self.ckpt.save(
+                        self.ts.params,
+                        {"opt_state": self.ts.opt_state,
+                         "step": np.asarray(self.ts.step), "epoch": epoch},
+                        epoch, val_psnr)
+            from refvsr_tpu.utils.console import end_status
+            end_status()
             print(f"[epoch {epoch}] itr={int(self.ts.step)} "
                   f"{ {k: round(v, 5) for k, v in train_errs.items()} } "
                   f"({time.time() - t0:.1f}s)")
@@ -212,7 +236,7 @@ class Runner:
                                       item["is_first"])
             gt = item["HR_UW"][t // 2]
             out = sr[0]
-            if cfg.save_sample and i < 4:
+            if cfg.save_sample and i < 4 and self.is_main:
                 # sample-image dumps incl. confidence visualization tiles
                 # (run.py:177-196 + RefVSR.py:301-322 norm_res_vis parity)
                 from PIL import Image

@@ -151,12 +151,15 @@ class Trainer:
                 lambda x: shard_batch(mesh, x.ndim),
                 init_stream_state(1, 8, 8, 1,
                                   num_frames=self.config.frame_num))
+            # donate TrainState + stream carry: params/opt-state buffers are
+            # reused in place instead of copied every window step
             return jax.jit(
                 train_step,
                 in_shardings=(rep, rep, stream_sh, shard_batch(mesh, 5),
                               shard_batch(mesh, 5), shard_batch(mesh, 4),
-                              shard_batch(mesh, 5), rep))
-        return jax.jit(train_step, donate_argnums=(0,))
+                              shard_batch(mesh, 5), rep),
+                donate_argnums=(0, 2))
+        return jax.jit(train_step, donate_argnums=(0, 2))
 
     @property
     def train_step(self):
@@ -173,11 +176,14 @@ class Trainer:
         Returns (new_train_state, mean-errs dict, last stream state)."""
         cfg = self.config
         t = cfg.frame_num
-        lr_all = batch["LR_UW"]
-        ref_all = batch["LR_REF_W"]
-        hr_all = batch["HR_UW"]
+        # ONE host->device upload per batch; window slices below are
+        # device-side views (reference re-uploads per window,
+        # trainer.py:143-151 — a per-step H2D stall)
+        lr_all = jnp.asarray(batch["LR_UW"])
+        ref_all = jnp.asarray(batch["LR_REF_W"])
+        hr_all = jnp.asarray(batch["HR_UW"])
         ref_key = "HR_REF_T" if cfg.is_use_T else "HR_REF_W"
-        hr_ref_all = batch[ref_key]
+        hr_ref_all = jnp.asarray(batch[ref_key])
         total = lr_all.shape[1]
         n, _, h, w, _ = lr_all.shape
 
@@ -197,17 +203,20 @@ class Trainer:
                     t, cfg.keyframe_stride, kf_first)
             else:
                 kf_mask = np.zeros(t, bool)
-            lrs = jnp.asarray(lr_all[:, i:i + t])
-            refs = jnp.asarray(ref_all[:, i:i + t])
-            hr = jnp.asarray(hr_all[:, i + t // 2])
-            ref_frames = jnp.asarray(hr_ref_all[:, : i + t])
+            lrs = lr_all[:, i:i + t]
+            refs = ref_all[:, i:i + t]
+            hr = hr_all[:, i + t // 2]
+            ref_frames = hr_ref_all[:, : i + t]
             ts, errs, stream = self.train_step(ts, loss_params, stream, lrs,
                                                refs, hr, ref_frames,
                                                jnp.asarray(kf_mask))
             norm += n
+            # accumulate on device; ONE transfer per batch below (no
+            # device->host sync inside the window loop)
             for k, v in errs.items():
-                errs_total[k] = errs_total.get(k, 0.0) + float(v) * n
-        errs_mean = {k: v / norm for k, v in errs_total.items()}
+                errs_total[k] = errs_total.get(k, 0.0) + v * n
+        errs_mean = {k: float(v) / norm
+                     for k, v in jax.device_get(errs_total).items()}
         return ts, errs_mean, stream
 
     # ---------------- evaluation ----------------

@@ -36,7 +36,7 @@ def to_blue(t):
 def format_train_line(mode, epoch, itr, itr_per_epoch, errs: dict,
                       lr: float, elapsed: float) -> str:
     """'[mode][E e][I i/n] loss: ... PSNR: ... lr: ... (x.xs)' — the content
-    of print_logs (utils.py:52-104) without cursor rewriting."""
+    of print_logs (utils.py:52-104)."""
     parts = [f"[{to_green(mode)}]", f"[E {epoch}]",
              f"[I {itr}/{itr_per_epoch}]"]
     for k, v in errs.items():
@@ -44,3 +44,42 @@ def format_train_line(mode, epoch, itr, itr_per_epoch, errs: dict,
     parts.append(f"lr: {lr:.2e}")
     parts.append(f"({elapsed:.2f}s)")
     return " ".join(parts)
+
+
+def print_status(line: str) -> None:
+    """Cursor-rewriting status line (reference print_logs refresh mode,
+    utils.py:52-104): on a TTY the line overwrites itself in place; piped to
+    a file/CI it degrades to one plain line per call."""
+    if sys.stdout.isatty():
+        sys.stdout.write(f"\r\033[2K{line}")
+        sys.stdout.flush()
+    else:
+        print(line)
+
+
+def end_status() -> None:
+    """Terminate an in-place status line before a permanent print."""
+    if sys.stdout.isatty():
+        sys.stdout.write("\n")
+        sys.stdout.flush()
+
+
+def handle_directory(config, delete_log: bool) -> None:
+    """Reference utils.py:168-191: on train start (no resume), optionally
+    wipe the run's log tree after an interactive y/n confirm; non-TTY runs
+    (CI) take the flag at face value."""
+    if delete_log:
+        if sys.stdin.isatty():
+            ans = input("Are you sure to delete the logs (y/n):\n")
+            if len(ans) == 0 or ans[0].lower() == "y":
+                pass
+            elif ans[0].lower() == "n":
+                delete_log = False
+            else:
+                print("invalid input")
+                raise SystemExit(1)
+        if delete_log:
+            import shutil
+            shutil.rmtree(config.log_dir, ignore_errors=True)
+    import os
+    os.makedirs(config.log_dir, exist_ok=True)

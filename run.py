@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("-r", "--resume", type=str, default=None)
     p.add_argument("-ra", "--resume_abs", type=str, default=None)
     p.add_argument("-ss", "--save_sample", action="store_true")
+    p.add_argument("-dl", "--delete_log", action="store_true",
+                   help="wipe the run's log tree before training "
+                        "(reference run.py:248; ignored when resuming)")
     p.add_argument("-vs", "--is_verbose", action="store_true")
     p.add_argument("--data_offset", type=str, default=None)
     p.add_argument("--output_offset", type=str, default=None)
@@ -58,11 +61,17 @@ def build_parser():
     p.add_argument("--devices", type=int, default=None,
                    help="number of devices for the data-parallel mesh "
                         "(default: all visible; 1 disables the mesh)")
+    p.add_argument("--spatial_devices", type=int, default=None,
+                   help="eval/serving: H-shard each frame over an N-chip "
+                        "spatial mesh (8K on v5e-8; parallel/serve.py)")
+    p.add_argument("--spatial_halo", type=int, default=None,
+                   help="halo rows exchanged per neighbor for shard-local "
+                        "warp/gather (default 32)")
     return p
 
 
 def build_config(args):
-    from refvsr_tpu.configs import get_config, set_data_path
+    from refvsr_tpu.configs import get_config, load_config, set_data_path
     import dataclasses
 
     name = args.config or f"config_{args.mode}"
@@ -73,14 +82,29 @@ def build_config(args):
                        ("data_offset", args.data_offset),
                        ("output_offset", args.output_offset),
                        ("log_offset", args.log_offset),
-                       ("total_itr", args.total_itr)):
+                       ("total_itr", args.total_itr),
+                       ("spatial_devices", args.spatial_devices),
+                       ("spatial_halo", args.spatial_halo)):
         if val is not None:
             overrides[field] = val
     if args.save_sample:
         overrides["save_sample"] = True
     if args.is_verbose:
         overrides["is_verbose"] = True
-    c = get_config(name, **overrides)
+
+    saved_json = None
+    if not args.is_train and args.config is None:
+        # eval with no --config reconstructs from the training run's saved
+        # config snapshot (reference run.py:352-357 rereads config.txt)
+        log_offset = args.log_offset or "./logs"
+        cand = os.path.join(log_offset, args.project, args.mode,
+                            "config", "config.json")
+        if os.path.exists(cand):
+            saved_json = cand
+    if saved_json is not None:
+        c = load_config(saved_json).replace(**overrides)
+    else:
+        c = get_config(name, **overrides)
 
     ev = dataclasses.replace(
         c.EVAL, eval_mode=args.eval_mode, ckpt_name=args.ckpt_name,
@@ -138,6 +162,13 @@ def main(argv=None):
 
     if args.is_train:
         mesh = _build_train_mesh(config, args.devices)
+        # reference run.py:277: resume runs never delete their own logs
+        if args.delete_log and args.resume is None and \
+                args.resume_abs is None:
+            import jax
+            if jax.process_index() == 0:
+                from refvsr_tpu.utils.console import handle_directory
+                handle_directory(config, True)
         from refvsr_tpu.train.runner import Runner
         runner = Runner(config, mesh=mesh)
         if args.resume is not None:

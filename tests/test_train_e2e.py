@@ -10,40 +10,7 @@ from PIL import Image
 from refvsr_tpu.configs import get_config, set_data_path
 
 
-def _write_clip_triplet(ds, split, cam, clip, n_frames, lr_h, lr_w, seed):
-    """Write consistent HR / LRx2 / LRx4 frames (LRs bicubic-derived from HR,
-    like the real RealMCVSR captures) — makes training losses learnable."""
-    from refvsr_tpu.data.np_ops import np_resize
-    rng = np.random.default_rng(seed)
-    for i in range(n_frames):
-        # smooth content: low-res noise upsampled (natural-image-ish)
-        base = rng.random((lr_h // 4, lr_w // 4, 3)).astype(np.float32)
-        hr = np.clip(np_resize(base, size=(4 * lr_h, 4 * lr_w),
-                               mode="bicubic"), 0, 1)
-        for sub, img in (("HR", hr),
-                         ("LRx2", np_resize(hr, scale_factor=0.5,
-                                            mode="bicubic")),
-                         ("LRx4", np_resize(hr, scale_factor=0.25,
-                                            mode="bicubic"))):
-            d = os.path.join(str(ds), split, sub, cam, clip)
-            os.makedirs(d, exist_ok=True)
-            Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
-                os.path.join(d, f"{i:04d}.png"))
-
-
-@pytest.fixture(scope="module")
-def fake_dataset(tmp_path_factory):
-    root = tmp_path_factory.mktemp("RealMCVSR_root")
-    ds = root / "RealMCVSR"
-    lr_h, lr_w = 64, 64
-    n_frames = 8
-    for split, clips in (("train", ["0000", "0001"]), ("valid", ["0002"]),
-                        ("test", ["0003"])):
-        for clip in clips:
-            for cam in ("UW", "W", "T"):
-                _write_clip_triplet(ds, split, cam, clip, n_frames, lr_h,
-                                    lr_w, seed=hash((split, clip, cam)) % 2**31)
-    return str(root)
+# fake_dataset comes from conftest.py (session-scoped, shared across modules)
 
 
 @pytest.fixture(scope="module")
