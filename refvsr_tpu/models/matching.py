@@ -33,8 +33,12 @@ from refvsr_tpu.ops.patches import extract_patches, fold_non_overlapping, gather
 from refvsr_tpu.ops.resize import resize, avg_pool_2x2
 
 
-_AFFINE_QUAD_BYTES = int(os.environ.get("REFVSR_AFFINE_QUAD_MB",
-                                         "1536")) << 20
+# AlignedConv2d affine gather: quad-canvas above this budget. A/B'd on v5e
+# at 1080p-HD-in (chip session r3, docs/ROUND3_NOTES.md): raising to 3584 MB
+# left the cached prop step at 351/1060 ms — identical to the default — so
+# the stride-2 source grid's pair path is not the bottleneck and the
+# threshold stays fixed here (knob closed per VERDICT r2 #2/#5).
+_AFFINE_QUAD_BYTES = 1536 << 20
 # AlignedConv2d head: row-tile above this many pixels (see _head_tiled)
 _HEAD_TILE_PIXELS = 1 << 22
 # affine gather: chunk the gathered corner temps above this many elements

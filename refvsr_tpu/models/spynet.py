@@ -14,8 +14,6 @@ train time (RefVSR.py:28-29) — the trainer masks them out of the optimizer."""
 
 from __future__ import annotations
 
-import os
-
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -23,9 +21,10 @@ from refvsr_tpu.models.blocks import Conv2d
 from refvsr_tpu.ops.resize import resize, avg_pool_2x2
 from refvsr_tpu.ops.warp import flow_warp
 
-# 7x7 conv formulation: "xla" (native lowering) or "im2col_w" (width-im2col,
-# K=7C dots — see ops/conv.wide_im2col_conv). Same params either way.
-_SPYNET_CONV = os.environ.get("REFVSR_SPYNET_CONV", "xla")
+# 7x7 conv formulation. A/B on v5e at 1080p-HD-in (docs/ROUND3_NOTES.md):
+# native XLA lowering 326 ms/pair vs width-im2col (ops/conv.wide_im2col_conv)
+# 370 ms — XLA wins, so it is the fixed choice (same params either way).
+_SPYNET_CONV = "xla"
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)

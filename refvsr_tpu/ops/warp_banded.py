@@ -37,6 +37,14 @@ import jax.lax as lax
 import jax.numpy as jnp
 
 
+# padded-band byte budget per scan chunk: bounds the dominant HLO temp.
+# The whole-array formulation OOMed at the 1080p-HD 2x UP-warp shape (8100
+# tiles -> 12.25G unpadded / 31.76G lane-padded band, chip session r3);
+# chunking tiles through lax.scan caps it at ~this budget regardless of
+# output size while keeping the machinery (and its parity tests) intact.
+_BAND_CHUNK_BYTES = 256 << 20
+
+
 def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
                  debug_stats=False):
     """Shared banded gather machinery.
@@ -84,67 +92,115 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
     y0r_t = tiles_of(y0r)
     x0c_t = tiles_of(x0c)
     w_t = [tiles_of(wi.astype(jnp.float32)) for wi in weights]
-
-    rr = jax.lax.broadcasted_iota(jnp.int32, (ntiles, th, two), 1)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (ntiles, th, two), 2)
-
-    # diagonal anchors: dead points excluded (a big sentinel keeps them out
-    # of the min without branching)
-    big = jnp.int32(1 << 28)
-    ky = jnp.min(jnp.where(live_t, y0r_t - rr, big), axis=(1, 2))
-    kxd = jnp.min(jnp.where(live_t, x0c_t - cc, big), axis=(1, 2))
-    all_dead = ky == big
-    ky = jnp.where(all_dead, 0, jnp.clip(ky, 0, hp - yb))
-    kxb = jnp.where(all_dead, 0,
-                    jnp.clip(kxd // xb, 0, nxb - nb)).astype(jnp.int32)
-
-    dy = y0r_t - ky[:, None, None] - rr            # in [0, ysel-2] if valid
-    dx = x0c_t - (kxb * xb)[:, None, None] - cc    # in [0, xsel-2] if valid
-    ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0) & (dx <= xsel - 2))
-    ok = jnp.all(ok_sel | ~live_t)
-
-    # ---- band gather: (ntiles, yb, nb) row ids -> (ntiles, yb, nb*xb, c)
-    jj = jnp.arange(yb, dtype=jnp.int32)
-    bb = jnp.arange(nb, dtype=jnp.int32)
-    rows = ((ky[:, None] + jj[None]) * nxb)[:, :, None] + \
-        (kxb[:, None] + bb[None])[:, None, :]                 # (nt, yb, nb)
-    band = jnp.take_along_axis(
-        flat[None], rows.reshape(1, -1, 1), axis=1, mode="clip")
-    band = band.reshape(ntiles, yb, nb * xb, c)
-
-    # ---- static select window: clamp dy/dx so dead points read *something*
-    # in-range (their weights are zero). Accumulate in the source dtype —
-    # mirrors the quad path's arithmetic (weights cast then dtype adds) and
-    # halves the accumulator HBM at the 8K shapes.
-    dy_c = jnp.clip(dy, 0, ysel - 2)
-    dx_c = jnp.clip(dx, 0, xsel - 2)
-    live_f = live_t.astype(jnp.float32)
     dt = xs.dtype
 
-    out = jnp.zeros((ntiles, th, two, c), dt)
-    for oy in range(ysel):
-        for ox in range(xsel):
-            cy = oy - dy_c
-            cx = ox - dx_c
-            wgt = (jnp.where((cy == 0) & (cx == 0), w_t[0], 0.0)
-                   + jnp.where((cy == 0) & (cx == 1), w_t[1], 0.0)
-                   + jnp.where((cy == 1) & (cx == 0), w_t[2], 0.0)
-                   + jnp.where((cy == 1) & (cx == 1), w_t[3], 0.0))
-            wgt = (wgt * live_f).astype(dt)
-            sl = lax.slice(band, (0, oy, ox, 0),
-                           (ntiles, oy + th, ox + two, c))
-            out = out + wgt[..., None] * sl
+    def process(live_t, y0r_t, x0c_t, w_t):
+        """Band-gather + select-window for a batch of tiles. Returns
+        (out (nt, th, two, c), ok_sel (nt, th, two) bool, dy, dx)."""
+        nt = live_t.shape[0]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (nt, th, two), 1)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (nt, th, two), 2)
 
-    # dead points must be EXACT zeros like the quad path's final mask —
-    # weight zeroing alone propagates NaN (non-finite coords give NaN
-    # weights, and NaN * 0 = NaN)
-    out = jnp.where(live_t[..., None], out, jnp.zeros((), dt))
+        # diagonal anchors: dead points excluded (a big sentinel keeps them
+        # out of the min without branching)
+        big = jnp.int32(1 << 28)
+        ky = jnp.min(jnp.where(live_t, y0r_t - rr, big), axis=(1, 2))
+        kxd = jnp.min(jnp.where(live_t, x0c_t - cc, big), axis=(1, 2))
+        all_dead = ky == big
+        ky = jnp.where(all_dead, 0, jnp.clip(ky, 0, hp - yb))
+        kxb = jnp.where(all_dead, 0,
+                        jnp.clip(kxd // xb, 0, nxb - nb)).astype(jnp.int32)
+
+        dy = y0r_t - ky[:, None, None] - rr        # in [0, ysel-2] if valid
+        dx = x0c_t - (kxb * xb)[:, None, None] - cc  # in [0, xsel-2] if valid
+        ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0) & (dx <= xsel - 2))
+
+        # ---- band gather: (nt, yb, nb) row ids -> (nt, yb, nb*xb, c)
+        jj = jnp.arange(yb, dtype=jnp.int32)
+        bb = jnp.arange(nb, dtype=jnp.int32)
+        rows = ((ky[:, None] + jj[None]) * nxb)[:, :, None] + \
+            (kxb[:, None] + bb[None])[:, None, :]             # (nt, yb, nb)
+        band = jnp.take_along_axis(
+            flat[None], rows.reshape(1, -1, 1), axis=1, mode="clip")
+        band = band.reshape(nt, yb, nb * xb, c)
+
+        # ---- static select window: clamp dy/dx so dead points read
+        # *something* in-range (their weights are zero). Accumulate in the
+        # source dtype — mirrors the quad path's arithmetic (weights cast
+        # then dtype adds) and halves the accumulator HBM at the 8K shapes.
+        dy_c = jnp.clip(dy, 0, ysel - 2)
+        dx_c = jnp.clip(dx, 0, xsel - 2)
+        live_f = live_t.astype(jnp.float32)
+
+        out = jnp.zeros((nt, th, two, c), dt)
+        for oy in range(ysel):
+            for ox in range(xsel):
+                cy = oy - dy_c
+                cx = ox - dx_c
+                wgt = (jnp.where((cy == 0) & (cx == 0), w_t[0], 0.0)
+                       + jnp.where((cy == 0) & (cx == 1), w_t[1], 0.0)
+                       + jnp.where((cy == 1) & (cx == 0), w_t[2], 0.0)
+                       + jnp.where((cy == 1) & (cx == 1), w_t[3], 0.0))
+                wgt = (wgt * live_f).astype(dt)
+                sl = lax.slice(band, (0, oy, ox, 0),
+                               (nt, oy + th, ox + two, c))
+                out = out + wgt[..., None] * sl
+
+        # dead points must be EXACT zeros like the quad path's final mask —
+        # weight zeroing alone propagates NaN (non-finite coords give NaN
+        # weights, and NaN * 0 = NaN)
+        out = jnp.where(live_t[..., None], out, jnp.zeros((), dt))
+        return out, ok_sel, dy, dx
+
+    # tiles per scan chunk, budgeted on the lane-PADDED band bytes (minor
+    # dim c tiles to 128): the chip-session r3 OOM was this temp at 8100
+    # tiles resident at once
+    lane_pad = -(-c // 128) * 128
+    per_tile = yb * (-(-(nb * xb) // 8) * 8) * lane_pad * xs.dtype.itemsize
+    chunk = max(1, _BAND_CHUNK_BYTES // per_tile)
+
+    if ntiles <= chunk:
+        out, ok_sel, dy, dx = process(live_t, y0r_t, x0c_t, w_t)
+        ok = jnp.all(ok_sel | ~live_t)
+        stats = {"ok_sel": jnp.mean(ok_sel.astype(jnp.float32)),
+                 "dy_max": jnp.max(jnp.where(live_t, dy, 0)),
+                 "dx_max": jnp.max(jnp.where(live_t, dx, 0))}
+    else:
+        nchunks = -(-ntiles // chunk)
+        pad_t = nchunks * chunk - ntiles
+
+        def chunked(a):
+            if pad_t:  # padded tiles are all-dead -> excluded everywhere
+                a = jnp.pad(a, [(0, pad_t)] + [(0, 0)] * (a.ndim - 1))
+            return a.reshape((nchunks, chunk) + a.shape[1:])
+
+        xs_in = (chunked(live_t), chunked(y0r_t), chunked(x0c_t),
+                 [chunked(wi) for wi in w_t])
+
+        def step(carry, inp):
+            lt, yt, xt, wt = inp
+            o, ok_sel, dy, dx = process(lt, yt, xt, wt)
+            ok_c, n_ok, dy_m, dx_m = carry
+            carry = (ok_c & jnp.all(ok_sel | ~lt),
+                     n_ok + jnp.sum(ok_sel.astype(jnp.float32)),
+                     jnp.maximum(dy_m, jnp.max(jnp.where(lt, dy, 0))),
+                     jnp.maximum(dx_m, jnp.max(jnp.where(lt, dx, 0))))
+            # flatten FULLY to 1-D: stacked (..., c) scan outputs would carry
+            # the c->128 lane padding across the whole output (2.67x HBM at
+            # c=48); (K,) chunks stack to (nchunks, K) which tiles cleanly
+            return carry, o.reshape(chunk * th * two * c)
+
+        init = (jnp.bool_(True), jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        (ok, n_ok, dy_m, dx_m), outs = lax.scan(step, init, xs_in)
+        out = outs.reshape(nchunks * chunk, th, two, c)[:ntiles]
+        stats = {"ok_sel": n_ok / float(ntiles * th * two),
+                 "dy_max": dy_m, "dx_max": dx_m}
+
     out = out.reshape(nty, ntx, th, two, c).transpose(0, 2, 1, 3, 4)
     out = out.reshape(ho_p, wo_p, c)[:ho, :wo]
     if debug_stats:
-        return out, ok, {"ok_sel": jnp.mean(ok_sel.astype(jnp.float32)),
-                         "dy_max": jnp.max(jnp.where(live_t, dy, 0)),
-                         "dx_max": jnp.max(jnp.where(live_t, dx, 0))}
+        return out, ok, stats
     return out, ok
 
 

@@ -122,6 +122,16 @@ def bench():
 
         timeit(f"quad  {name}", jax.jit(
             lambda x, f: jnp.sum(ref_warp(x, f).astype(jnp.float32))), x, flow)
+
+        from refvsr_tpu.ops.pallas.warp_kernel import pallas_warp_zeros
+        from refvsr_tpu.ops.warp import warp_coords as _wc
+
+        @jax.jit
+        def pallas_w(x, f):
+            sx, sy = _wc(x.shape[1:3], f)
+            return jnp.sum(pallas_warp_zeros(x, sx, sy).astype(jnp.float32))
+        timeit(f"pallas {name}", pallas_w, x, flow)
+
         for xb, th in ((8, 8), (16, 8), (8, 16)):
             fn = jax.jit(functools.partial(
                 lambda x, sy, sx, xb, th: jnp.sum(
