@@ -135,9 +135,9 @@ class Conv2d(nn.Module):
             (self.kernel_size, self.kernel_size, cin, self.features),
             self.use_bias, self.kernel_init, bound, name="conv")()
         if x is None:
-            # params-only mode: the fused conv-chain kernel (ops/pallas/
-            # conv_chain.py) consumes the raw weights; the param tree stays
-            # identical to the computing path (checkpoint compatibility)
+            # params-only mode: raw-weight consumers (the Pallas matching
+            # kernel, models/matching.py) declare the identical param tree
+            # without computing (checkpoint compatibility)
             return kernel, bias
         kernel = kernel.astype(x.dtype)
         if self.packed > 1:
@@ -183,7 +183,7 @@ class BasicBlock(nn.Module):
 class ResBlock(nn.Module):
     """conv3x3 -> LeakyReLU(0.2) -> conv3x3, residual (common.py:25-39).
     Called with x=None, declares and returns the two convs' raw params
-    (for the fused-chain kernel) without computing."""
+    without computing."""
     features: int
     res_scale: float = 1.0
     packed: int = 1
@@ -204,31 +204,15 @@ class ResBlock(nn.Module):
 
 class ResList(nn.Module):
     """num_blocks ResBlocks + conv_tail, outer residual (common.py:64-82).
-    On a single TPU device the whole chain runs as the fused Mosaic kernel
-    (ops/pallas/conv_chain.py) — same param tree, VMEM-resident activations,
-    K-folded dots."""
+    Plain XLA convs: a fused VMEM-resident Mosaic chain kernel was built
+    and measured in rounds 2-3 (docs/ROUND2_NOTES.md) — it lost at the
+    full-model level (prop-ALL 494 ms fused vs 380 ms XLA; boundary layout
+    taxes ate the per-conv win) and was removed."""
     num_blocks: int
     features: int
 
     @nn.compact
     def __call__(self, x):
-        from refvsr_tpu.ops.pallas.conv_chain import (fused_conv_chain,
-                                                      use_fused_chain)
-        if use_fused_chain(x, 2 * self.num_blocks + 1):
-            ks, bs, ops = [], [], []
-            for i in range(self.num_blocks):
-                (k1, b1), (k2, b2) = ResBlock(self.features,
-                                              name=f"RBs_{i}")(None)
-                ks += [k1, k2]
-                bs += [b1, b2]
-                ops += [{"act": "lrelu2"}, {"res": True}]
-            kt, bt = Conv2d(self.features, 3, in_features=self.features,
-                            name="conv_tail")(None)
-            ks.append(kt)
-            bs.append(bt)
-            ops.append({})
-            return fused_conv_chain(x, ks, bs, ops) + x
-
         f = 2 if (WIDTH_PACK_CHAINS and x.shape[-2] % 2 == 0
                   and self.num_blocks >= 8) else 1
         x1 = x
@@ -245,7 +229,7 @@ class ResList(nn.Module):
 class ResidualBlockNoBN(nn.Module):
     """mmedit residual block: conv-ReLU-conv, 0.1-scaled kaiming init
     (sr_backbone_utils.py:42-97). x=None declares and returns the raw conv
-    params for the fused-chain kernel."""
+    params without computing."""
     features: int
     res_scale: float = 1.0
     packed: int = 1
@@ -267,36 +251,17 @@ class ResidualBlockNoBN(nn.Module):
 
 class ResidualBlocksWithInputConv(nn.Module):
     """input conv + LeakyReLU(0.1) + N ResidualBlockNoBN (RefVSR.py:327-360).
-    On a single TPU device the block chain runs as the fused Mosaic kernel
-    (ops/pallas/conv_chain.py; the mixed-channel input conv stays XLA)."""
+    Plain XLA convs — see ResList for the measured fused-chain verdict."""
     features: int
     num_blocks: int = 30
 
     @nn.compact
     def __call__(self, x):
-        from refvsr_tpu.ops.pallas.conv_chain import (fused_conv_chain,
-                                                      use_fused_chain)
-        # gate on the POST-input-conv shape (the chain runs at `features`
-        # channels; the concat input's channel count is irrelevant)
-        chain_shape = jax.ShapeDtypeStruct(
-            x.shape[:-1] + (self.features,), x.dtype)
-        fuse = (use_fused_chain(chain_shape, 2 * self.num_blocks)
-                and self.num_blocks >= 4)
-        f = 2 if (not fuse and WIDTH_PACK_CHAINS
-                  and x.shape[-2] % 2 == 0) else 1
+        f = 2 if (WIDTH_PACK_CHAINS and x.shape[-2] % 2 == 0) else 1
         if f > 1:
             x = width_pack(x, f)
         x = Conv2d(self.features, 3, packed=f, name="input_conv")(x)
         x = lrelu(x, 0.1)
-        if fuse:
-            ks, bs, ops = [], [], []
-            for i in range(self.num_blocks):
-                (k1, b1), (k2, b2) = ResidualBlockNoBN(
-                    self.features, name=f"block_{i}")(None)
-                ks += [k1, k2]
-                bs += [b1, b2]
-                ops += [{"act": "relu"}, {"res": True}]
-            return fused_conv_chain(x, ks, bs, ops)
         for i in range(self.num_blocks):
             x = ResidualBlockNoBN(self.features, packed=f,
                                   name=f"block_{i}")(x)

@@ -30,17 +30,19 @@ transient HBM on a 16 GB chip.
 
 from __future__ import annotations
 
-import os
-
 import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
 _QUAD_CANVAS_BYTES = 3584 << 20
-# banded warp (ops/warp_banded.py): opt-in until measured on-chip. Applies
-# to zeros-mode n=1 warps above the pixel threshold; exact (falls back to
-# the quad path via lax.cond when a tile's flow range exceeds the window).
-_BANDED_WARP = os.environ.get("REFVSR_BANDED_WARP", "0") == "1"
+# banded warp (ops/warp_banded.py): DEFAULT for large zeros-mode n=1 warps.
+# Exact — falls back to the quad path via lax.cond when a tile's flow range
+# exceeds the static select window. Chip session r3 (v5e, bf16): 1080p-HD
+# 2x UP-warp (2160x3840x48) banded 361.7 ms vs quad 465.0 ms (-22%);
+# feat-warp (1080x1920x49) banded(th=16) ~102 ms vs quad ~108 ms. A Pallas
+# DMA-band kernel of the same formulation was built and measured slower
+# (610 ms; per-tile DMA latency not hidden) and removed — docs/ROUND3_NOTES.
+# Below the pixel threshold the banded tiling overhead isn't worth it.
 _BANDED_MIN_PIXELS = 1 << 18
 
 
@@ -158,8 +160,8 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     out = _spatial.maybe_sharded_sample(x, sx, sy, padding)
     if out is not None:
         return out
-    if (_BANDED_WARP and x.shape[0] == 1 and padding == "zeros"
-            and sx.shape[1] * sx.shape[2] >= _BANDED_MIN_PIXELS):
+    if (padding == "zeros"
+            and x.shape[0] * sx.shape[1] * sx.shape[2] >= _BANDED_MIN_PIXELS):
         from refvsr_tpu.ops.warp_banded import banded_sample
         fast, ok = banded_sample(x, sy, sx, padding=padding)
         # exactness guard: banded only covers tiles whose flow range fits

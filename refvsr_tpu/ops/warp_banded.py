@@ -28,6 +28,12 @@ Entry point: banded_sample — torch-grid_sample-parity bilinear warp
 models/utils.py:35-43. (The affine gather was evaluated for this treatment
 too, but its stride-2 source grid halves the row savings while doubling
 band traffic — its cheap fix is the quad-canvas threshold instead.)
+
+Tile-size A/B, chip session r3 (1080p-HD 2x UP-warp, 2160x3840x48 bf16,
+v5e): th=16/xb=8 361.7 ms, th=8/xb=8 400.2 ms, th=8/xb=16 626.2 ms, quad
+465.0 ms — th=16/xb=8 is the default. Larger th amortizes the band over
+more points; larger xb inflates the select window (xsel = xb + 4 static
+slices per tile).
 """
 
 from __future__ import annotations
@@ -49,16 +55,22 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
                  debug_stats=False):
     """Shared banded gather machinery.
 
-    xs: (H, W, C) source (no batch; callers squeeze). y0i/x0i: (Ho, Wo)
-    int32 top-left corner anchors in source coords, guaranteed in
-    [0, H-1] x [0, W-1] (+1 reads may exit; they land in zero padding and
-    must carry zero weight). weights: 4-tuple of (Ho, Wo) f32 corner weights
-    (w00, w01, w10, w11). live: (Ho, Wo) bool — points excluded from anchor
-    mins AND from validity (their outputs are weight-0 garbage).
+    xs: (B, H, W, C) source. y0i/x0i: (B, Ho, Wo) int32 top-left corner
+    anchors in source coords, guaranteed in [0, H-1] x [0, W-1] (+1 reads
+    may exit; they land in zero padding and must carry zero weight).
+    weights: 4-tuple of (B, Ho, Wo) f32 corner weights (w00, w01, w10, w11).
+    live: (B, Ho, Wo) bool — points excluded from anchor mins AND from
+    validity (their outputs are weight-0 garbage).
 
-    Returns (out (Ho, Wo, C) in xs.dtype, ok scalar bool [, stats])."""
-    h, w, c = xs.shape
-    ho, wo = y0i.shape
+    Batch folds into the flat row table: batch item b's padded rows live at
+    flat rows [b*hp, (b+1)*hp), and the per-tile row anchors carry the b*hp
+    offset. A live tile's band stays inside its item by construction
+    (anchors are >= top - (th-1) > 0 and <= top + h, and the band depth yb
+    fits the bottom padding), so no cross-item reads are possible.
+
+    Returns (out (B, Ho, Wo, C) in xs.dtype, ok scalar bool [, stats])."""
+    b, h, w, c = xs.shape
+    ho, wo = y0i.shape[1], y0i.shape[2]
 
     xsel = xb + xsel_extra
     yb = th + ysel
@@ -70,22 +82,24 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
     top, left = th + 1, two + 1
     wp_al = -(-(left + w + 1 + two + xb + xsel) // xb) * xb
     hp = top + h + 1 + yb
-    xp = jnp.pad(xs, [(top, hp - top - h), (left, wp_al - left - w), (0, 0)])
+    xp = jnp.pad(xs, [(0, 0), (top, hp - top - h),
+                      (left, wp_al - left - w), (0, 0)])
     nxb = wp_al // xb
-    flat = xp.reshape(hp * nxb, xb * c)
-    y0r = y0i + top
+    flat = xp.reshape(b * hp * nxb, xb * c)
+    # row anchors in GLOBAL flat-table coords (+ b*hp per item)
+    y0r = y0i + top + (jnp.arange(b, dtype=jnp.int32) * hp)[:, None, None]
     x0c = x0i + left
 
-    # tile grids (pad output to tile multiples)
+    # tile grids (pad output to tile multiples); tiles never straddle items
     ho_p = -(-ho // th) * th
     wo_p = -(-wo // two) * two
-    pad_o = [(0, ho_p - ho), (0, wo_p - wo)]
+    pad_o = [(0, 0), (0, ho_p - ho), (0, wo_p - wo)]
     nty, ntx = ho_p // th, wo_p // two
-    ntiles = nty * ntx
+    ntiles = b * nty * ntx
 
     def tiles_of(a):
         a = jnp.pad(a, pad_o)
-        return (a.reshape(nty, th, ntx, two).transpose(0, 2, 1, 3)
+        return (a.reshape(b, nty, th, ntx, two).transpose(0, 1, 3, 2, 4)
                 .reshape(ntiles, th, two))
 
     live_t = tiles_of(live.astype(jnp.float32)) > 0    # pads to dead
@@ -107,7 +121,7 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
         ky = jnp.min(jnp.where(live_t, y0r_t - rr, big), axis=(1, 2))
         kxd = jnp.min(jnp.where(live_t, x0c_t - cc, big), axis=(1, 2))
         all_dead = ky == big
-        ky = jnp.where(all_dead, 0, jnp.clip(ky, 0, hp - yb))
+        ky = jnp.where(all_dead, 0, jnp.clip(ky, 0, b * hp - yb))
         kxb = jnp.where(all_dead, 0,
                         jnp.clip(kxd // xb, 0, nxb - nb)).astype(jnp.int32)
 
@@ -197,36 +211,35 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
         stats = {"ok_sel": n_ok / float(ntiles * th * two),
                  "dy_max": dy_m, "dx_max": dx_m}
 
-    out = out.reshape(nty, ntx, th, two, c).transpose(0, 2, 1, 3, 4)
-    out = out.reshape(ho_p, wo_p, c)[:ho, :wo]
+    out = out.reshape(b, nty, ntx, th, two, c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(b, ho_p, wo_p, c)[:, :ho, :wo]
     if debug_stats:
         return out, ok, stats
     return out, ok
 
 
-def banded_sample(x, sy, sx, padding="zeros", th=8, two=128, xb=8,
+def banded_sample(x, sy, sx, padding="zeros", th=16, two=128, xb=8,
                   ysel=4, xsel_extra=4, debug_stats=False):
-    """Bilinear sample of x (1, H, W, C) at f32 source coords sy/sx
-    (1, Ho, Wo), matching ops/warp._bilinear_sample semantics. Returns
+    """Bilinear sample of x (N, H, W, C) at f32 source coords sy/sx
+    (N, Ho, Wo), matching ops/warp._bilinear_sample semantics. Returns
     (out, ok): out is exact when ok is True; callers must fall back when it
-    is False."""
+    is False (ok is a single scalar over the whole batch)."""
     n, h, w, c = x.shape
-    assert n == 1, "stream path is n=1; vmap if needed"
     sy = sy.astype(jnp.float32)
     sx = sx.astype(jnp.float32)
     if padding == "border":
         sy = jnp.clip(sy, 0.0, h - 1.0)
         sx = jnp.clip(sx, 0.0, w - 1.0)
 
-    y0 = jnp.floor(sy)[0]
-    x0 = jnp.floor(sx)[0]
-    ty = sy[0] - y0
-    tx = sx[0] - x0
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    ty = sy - y0
+    tx = sx - x0
     # integer anchors in ring coords: pass a ring-padded source so that
     # one-step-outside corners read exact zeros (grid_sample zeros mode)
     y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1) + 1
     x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1) + 1
-    xs = jnp.pad(x[0], [(1, 1), (1, 1), (0, 0)])
+    xs = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
 
     if padding == "zeros":
         live = ((y0 >= -1.0) & (y0 <= h - 1.0)
@@ -237,6 +250,5 @@ def banded_sample(x, sy, sx, padding="zeros", th=8, two=128, xb=8,
     weights = ((1.0 - ty) * (1.0 - tx) * lm, (1.0 - ty) * tx * lm,
                ty * (1.0 - tx) * lm, ty * tx * lm)
 
-    res = _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel,
-                       xsel_extra, debug_stats)
-    return (res[0][None],) + tuple(res[1:])
+    return _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel,
+                        xsel_extra, debug_stats)

@@ -18,8 +18,11 @@ warp). This prototype exploits flow SMOOTHNESS without giving up exactness:
      `jnp.any(invalid)` cond falls back to the quad path for the whole call —
      rare (needs intra-tile flow range > XSEL-2 px or > YSEL-2 rows).
 
-This file is the measurement harness; if it wins on-chip the formulation
-moves into ops/warp.py behind the same _bilinear_sample interface.
+This file is the measurement harness; the formulation WON on-chip (chip
+session r3: 361.7 ms banded th=16/xb=8 vs 465.0 ms quad at the 1080p-HD
+2x UP-warp) and is now the default inside ops/warp._bilinear_sample. A
+Pallas DMA-band variant of the same idea measured 610 ms (per-tile DMA
+latency not hidden) and was removed — docs/ROUND3_NOTES.md.
 
 Run: python scripts/microbench_banded_warp.py --check   (CPU parity)
      python scripts/microbench_banded_warp.py           (on-chip timings)
@@ -122,15 +125,6 @@ def bench():
 
         timeit(f"quad  {name}", jax.jit(
             lambda x, f: jnp.sum(ref_warp(x, f).astype(jnp.float32))), x, flow)
-
-        from refvsr_tpu.ops.pallas.warp_kernel import pallas_warp_zeros
-        from refvsr_tpu.ops.warp import warp_coords as _wc
-
-        @jax.jit
-        def pallas_w(x, f):
-            sx, sy = _wc(x.shape[1:3], f)
-            return jnp.sum(pallas_warp_zeros(x, sx, sy).astype(jnp.float32))
-        timeit(f"pallas {name}", pallas_w, x, flow)
 
         for xb, th in ((8, 8), (16, 8), (8, 16)):
             fn = jax.jit(functools.partial(

@@ -3,9 +3,10 @@
 The banded formulation must be bit-compatible (up to f32 reassociation) with
 ops/warp._bilinear_sample for smooth flows, and must *report* invalidity —
 never silently mis-sample — when a tile's flow range exceeds its static
-select window. Also covers the REFVSR_BANDED_WARP integration: warp() output
-must be identical with the gate on (cond picks the banded branch) for smooth
-flows, and still correct (fallback branch) for violent flows."""
+select window. Also covers the warp() integration (banded is the DEFAULT
+branch above _BANDED_MIN_PIXELS): output must be identical to the quad path
+for smooth flows (cond picks the banded branch) and still correct (fallback
+branch) for violent flows."""
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,26 @@ def test_banded_matches_quad(rng, h, w, c, mag):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_banded_batched_matches_quad():
+    """n>1 folds the batch into the tile axis (flat-table row offsets);
+    every item must match its own n=1 quad warp — no cross-item reads."""
+    key = jax.random.PRNGKey(21)
+    n, h, w, c = 3, 40, 56, 8
+    kx, kf = jax.random.split(key)
+    x = jax.random.uniform(kx, (n, h, w, c), jnp.float32)
+    # per-item distinct flows, incl. one pushing samples out of bounds
+    flows = jnp.stack([_smooth_flow(jax.random.fold_in(kf, i), h, w,
+                                    mag=6.0 + 8.0 * i)[0] for i in range(n)])
+    from refvsr_tpu.ops.warp import warp_coords
+    sx, sy = warp_coords((h, w), flows)
+    got, ok = banded_sample(x, sy, sx)
+    assert bool(ok)
+    for i in range(n):
+        want = warp(x[i:i + 1], flows[i:i + 1])
+        np.testing.assert_allclose(np.asarray(got[i:i + 1]),
+                                   np.asarray(want), atol=2e-5)
+
+
 def test_banded_invalidates_on_violent_flow():
     key = jax.random.PRNGKey(3)
     x = jax.random.uniform(key, (1, 64, 96, 4), jnp.float32)
@@ -58,15 +79,16 @@ def test_banded_invalidates_on_violent_flow():
 
 
 def test_warp_gate_integration(monkeypatch):
-    """REFVSR_BANDED_WARP=1: warp() must match the ungated output for both a
-    smooth flow (banded branch taken) and a violent flow (cond fallback)."""
+    """Banded-default warp() must match the quad-path output for both a
+    smooth flow (banded branch taken) and a violent flow (cond fallback).
+    The 48x64 shape sits below _BANDED_MIN_PIXELS, so the unpatched calls
+    are the pure quad baseline."""
     key = jax.random.PRNGKey(7)
     x = jax.random.uniform(key, (1, 48, 64, 8), jnp.float32)
     smooth = _smooth_flow(key, 48, 64, 8.0)
     wild = jax.random.uniform(key, (1, 48, 64, 2), minval=-30.0, maxval=30.0)
 
     want_s, want_w = warp(x, smooth), warp(x, wild)
-    monkeypatch.setattr(warp_mod, "_BANDED_WARP", True)
     monkeypatch.setattr(warp_mod, "_BANDED_MIN_PIXELS", 0)
     np.testing.assert_allclose(np.asarray(warp(x, smooth)),
                                np.asarray(want_s), atol=2e-5)
@@ -76,9 +98,10 @@ def test_warp_gate_integration(monkeypatch):
 
 @pytest.mark.slow
 def test_stream_step_with_banded_gate(monkeypatch):
-    """Full streaming step with REFVSR_BANDED_WARP forced on must reproduce
-    the ungated stream output exactly (the banded branch feeds every prop
-    step's warps; smooth SPyNet-free flows keep it on the fast branch)."""
+    """Full streaming step with the banded branch forced on (threshold
+    dropped to 0) must reproduce the quad-path stream output exactly (the
+    banded branch feeds every prop step's warps; smooth SPyNet-free flows
+    keep it on the fast branch)."""
     from refvsr_tpu.models.refvsr import RefVSRNet, init_stream_state
 
     net = RefVSRNet(scale=4, num_blocks=2, mid_channels=8, matching_ksize=8,
@@ -99,7 +122,6 @@ def test_stream_step_with_banded_gate(monkeypatch):
         return out1, out2
 
     want1, want2 = run()
-    monkeypatch.setattr(warp_mod, "_BANDED_WARP", True)
     monkeypatch.setattr(warp_mod, "_BANDED_MIN_PIXELS", 0)
     got1, got2 = run()
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=3e-5)
