@@ -30,7 +30,7 @@ def _enable_compile_cache():
 
 
 def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
-                 iters=8, warmup=2):
+                 iters=8, warmup=2, lanes=0):
     import jax
     import jax.numpy as jnp
     _enable_compile_cache()
@@ -38,7 +38,7 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
 
     dtype = jnp.bfloat16
     net = RefVSRNet(scale=4, num_blocks=num_blocks, mid_channels=mid_channels,
-                    matching_ksize=8, flag_HD_in=True)
+                    matching_ksize=8, flag_HD_in=True, pipeline_lanes=lanes)
     key = jax.random.PRNGKey(0)
     n, t = 1, frame_num
     lrs = jax.random.uniform(key, (n, t, h, w, 3), dtype)
@@ -64,7 +64,7 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
     # production streaming graph (one fresh matching/frame); zero values are
     # fine — the cache is fully real after t - t//2 steps, and compiling
     # forward_first at this size just to warm it would double compile time
-    tt = t - t // 2
+    tt = (t - t // 2) + max(0, lanes - 1)
     state = state.replace(
         conf_tail=jnp.zeros((n, tt, h, w, 1), dtype),
         index_tail=jnp.zeros((n, tt, (h // 4) * (w // 4)), jnp.int32),
@@ -72,11 +72,21 @@ def bench_stream(h, w, frame_num=7, num_blocks=30, mid_channels=48,
         aligned_up_tail=jnp.zeros((n, tt, 2 * h, 2 * w, mid_channels),
                                   dtype),
         tail_base=jnp.zeros((), jnp.int32))
+    if lanes > 1:
+        # pipelined steady state: L-1 in-flight lane carries ride the state;
+        # one steady dispatch emits one frame, so fps = 1/dispatch_time
+        ext = lanes - 1
+        state = state.replace(
+            pipe_feat=jnp.zeros((ext * n, h, w, mid_channels), dtype),
+            pipe_feat_up=jnp.zeros((ext * n, 2 * h, 2 * w, mid_channels),
+                                   dtype),
+            pipe_conf=jnp.zeros((ext * n, h, w, 1), dtype))
+    fwd = (RefVSRNet.forward_stream_pipelined if lanes > 1
+           else RefVSRNet.forward_stream)
 
     @functools.partial(jax.jit, donate_argnums=(3, 4))
     def step(params, lrs, refs, state, acc):
-        out, new_state, _ = net.apply(params, lrs, refs, state,
-                                      method=RefVSRNet.forward_stream)
+        out, new_state, _ = net.apply(params, lrs, refs, state, method=fwd)
         # fold the full output into a carried scalar: the recurrent state only
         # depends on the cheap forward step, so without this the backward
         # branch of every non-final iteration would be dead-code-eliminated.
@@ -160,8 +170,8 @@ def bench_train(patch=64, batch=1, frame_num=7, windows=3, iters=4,
     return 1.0 / dt
 
 
-def _run_one(h, w):
-    fps, out_shape = bench_stream(h, w)
+def _run_one(h, w, lanes=0):
+    fps, out_shape = bench_stream(h, w, lanes=lanes)
     target_out_pixels = 4320 * 7680
     out_pixels = out_shape[1] * out_shape[2]
     fps_8k_equiv = fps * out_pixels / target_out_pixels
@@ -180,9 +190,10 @@ def main():
     # HD-in requires H,W divisible by 8 (aa1 kernel = matching_ksize//2 = 4 on
     # the half-res grid); 1080/8=135 exactly as in the reference's HD protocol.
     sizes = [(1080, 1920), (544, 960), (272, 480)]
-    if len(sys.argv) == 3 and sys.argv[1] == "--size":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--size":
         h, w = (int(v) for v in sys.argv[2].split("x"))
-        print(json.dumps(_run_one(h, w)))
+        lanes = int(sys.argv[4]) if len(sys.argv) == 5 else 0
+        print(json.dumps(_run_one(h, w, lanes=lanes)))
         return
     if len(sys.argv) == 2 and sys.argv[1] == "--train":
         print(json.dumps({"train_steps_per_s": round(bench_train(), 4)}))

@@ -107,6 +107,10 @@ class Config:
     keyframe_stride: int = 5      # IR only
     refine_val_lr: int = 1
     refine_val_hr: int = 1
+    # eval/serving: L>1 = pipelined streaming (models/refvsr.py — batch the
+    # L in-flight backward chains per dispatch; outputs identical, L-1
+    # windows late). RefVSR family only; no effect on training.
+    pipeline_lanes: int = 0
 
     # checkpoints / logging (config.py:62-82)
     max_ckpt_num: int = 100

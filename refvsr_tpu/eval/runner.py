@@ -146,10 +146,16 @@ def init_eval(config: Config):
             keyframe_stride=kf_stride)
     else:
         ef, es = trainer.eval_fns
+    pipe_kw = {}
+    pipe_fns = (None if getattr(config, "spatial_devices", 1) > 1
+                else trainer.pipeline_eval_fns)
+    if pipe_fns is not None:
+        pipe_kw = dict(eval_prime=pipe_fns[0], eval_pipelined=pipe_fns[1],
+                       pipeline_lanes=config.pipeline_lanes)
     runner = StreamRunner(
         trainer.net, params, config.reset_branch, ef, es,
         compute_dtype=trainer.compute_dtype,
-        keyframe_stride=kf_stride)
+        keyframe_stride=kf_stride, **pipe_kw)
     return trainer, ds, runner, save_root, score_root, ckpt_name
 
 
@@ -171,63 +177,50 @@ def eval_qual_quan(config: Config):
 
     writer = ImageWriter()
     try:
-        total_norm = 0
-        psnr_total = ssim_total = time_total = 0.0
-        psnr_v = ssim_v = time_v = 0.0
-        frame_len_prev = 0
-        first_write = True
+        agg = dict(total_norm=0, psnr_total=0.0, ssim_total=0.0,
+                   time_total=0.0, psnr_v=0.0, ssim_v=0.0, time_v=0.0,
+                   frame_len_prev=0, first_write=True, cur_video=None)
         results_summary = {}
+        need_full = not config.EVAL.quantitative_only  # image dumps want 8K
 
-        # multi-host: shard by WHOLE video so recurrent state stays process-local
-        # (data_sampler.py:31-43,64-72 semantics)
-        import jax
-        proc, nproc = jax.process_index(), jax.process_count()
-
-        for i in range(len(ds)):
-            if nproc > 1 and ds.idx_video[i] % nproc != proc:
-                continue
-            item = ds[i]
-            if item.get("is_continue"):
-                frame_len_prev += 1
-                continue
-            is_first = item["is_first"]
-
-            if is_first and i > 0 and frame_len_prev:
-                psnr_total += psnr_v
-                ssim_total += ssim_v
-                time_total += time_v
-                # reference prints the triggering item's raw video_idx
-                # (eval_qual_quan.py:47 — no +1, unlike per-frame lines)
+        def emit(oitem, sr_dev, itr_time):
+            """Per-OUTPUT postprocessing: metrics, score lines, image dumps,
+            per-video aggregation. With pipelined streaming outputs arrive
+            L-1 windows after their window was submitted, so all bookkeeping
+            keys off the emitted item, incl. the video boundary (the MEAN
+            line for the finished video prints with the NEXT video's first
+            item's fields — reference quirk, eval_qual_quan.py:47)."""
+            if (agg["cur_video"] is not None
+                    and oitem["video_name"] != agg["cur_video"]
+                    and agg["frame_len_prev"]):
+                agg["psnr_total"] += agg["psnr_v"]
+                agg["ssim_total"] += agg["ssim_v"]
+                agg["time_total"] += agg["time_v"]
                 line = (f"[MEAN EVAL {config.mode}|{config.EVAL.data}|"
-                        f"{item['video_name']}]"
-                        f"[{item['video_idx']}/{item['video_len']}]"
-                        f" PSNR: {psnr_v / frame_len_prev:.5f}"
-                        f" SSIM: {ssim_v / frame_len_prev:.5f}"
-                        f" ({time_v / frame_len_prev:.5f}sec)\n\n")
+                        f"{oitem['video_name']}]"
+                        f"[{oitem['video_idx']}/{oitem['video_len']}]"
+                        f" PSNR: {agg['psnr_v'] / agg['frame_len_prev']:.5f}"
+                        f" SSIM: {agg['ssim_v'] / agg['frame_len_prev']:.5f}"
+                        f" ({agg['time_v'] / agg['frame_len_prev']:.5f}sec)"
+                        "\n\n")
                 print(line, end="")
                 if not config.EVAL.qualitative_only:
                     with open(_score_path(score_root, config), "a") as f:
                         f.write(line)
-                psnr_v = ssim_v = time_v = 0.0
+                agg["psnr_v"] = agg["ssim_v"] = agg["time_v"] = 0.0
+            agg["cur_video"] = oitem["video_name"]
 
-            lrs = item["LR_UW"][None, :t]
-            refs = item["LR_REF_W"][None, :t]
-            t0 = time.time()
-            need_full = not config.EVAL.quantitative_only  # image dumps want 8K
             out = out_cmp = None
             if need_full or not config.flag_HD_in:
-                sr, _ = runner.process(lrs, refs, is_first)
-                out = sr[0]
+                out = np.asarray(sr_dev, np.float32)[0]
             else:
-                # metrics-only HD-in eval: downscale on device and transfer the
-                # small frame instead of the full 4x-8K one (~400 MB over the
-                # tunneled backend); same resize tables as np_resize
-                sr_dev, _ = runner.process_device(lrs, refs, is_first)
+                # metrics-only HD-in eval: downscale on device and transfer
+                # the small frame instead of the full 4x-8K one (~400 MB
+                # over the tunneled backend); same resize tables as np_resize
                 small = _device_downscale_fn(1.0 / config.scale)(sr_dev)
                 out_cmp = np.asarray(small[0], np.float32)
-            itr_time = time.time() - t0
 
-            gt = item["HR_UW"][t // 2]
+            gt = oitem["HR_UW"][t // 2]
             frame_psnr = frame_ssim = 0.0
             if not config.EVAL.qualitative_only:
                 if out_cmp is None:
@@ -240,39 +233,73 @@ def eval_qual_quan(config: Config):
                 frame_psnr = psnr(out_cmp, gt)
                 frame_ssim = ssim(out_cmp, gt)
 
-            psnr_v += frame_psnr
-            ssim_v += frame_ssim
-            time_v += itr_time
-            total_norm += 1
-            frame_len_prev = item["frame_len"]
+            agg["psnr_v"] += frame_psnr
+            agg["ssim_v"] += frame_ssim
+            agg["time_v"] += itr_time
+            agg["total_norm"] += 1
+            agg["frame_len_prev"] = oitem["frame_len"]
 
-            line = (f"[EVAL {config.mode}|{config.EVAL.data}|{item['video_name']}]"
-                    f"[{item['video_idx'] + 1}/{item['video_len']}]"
-                    f"[{item['frame_idx'] + 1}/{item['frame_len']}] "
-                    f"{item['frame_name']} PSNR: {frame_psnr:.5f} "
+            line = (f"[EVAL {config.mode}|{config.EVAL.data}|"
+                    f"{oitem['video_name']}]"
+                    f"[{oitem['video_idx'] + 1}/{oitem['video_len']}]"
+                    f"[{oitem['frame_idx'] + 1}/{oitem['frame_len']}] "
+                    f"{oitem['frame_name']} PSNR: {frame_psnr:.5f} "
                     f"SSIM: {frame_ssim:.5f} ({itr_time:.5f}sec)")
             print(line)
             with open(_score_path(score_root, config),
-                      "w" if first_write else "a") as f:
+                      "w" if agg["first_write"] else "a") as f:
                 f.write(line + "\n")
-            first_write = False
+            agg["first_write"] = False
 
             if not config.EVAL.quantitative_only:
-                stem = item["frame_name"].split(".")[0]
+                stem = oitem["frame_name"].split(".")[0]
                 for fmt in ("png", "jpg"):
                     writer.save(os.path.join(save_root, fmt, "input",
-                                             item["video_name"], f"{stem}.{fmt}"),
-                                item["LR_UW"][t // 2])
+                                             oitem["video_name"],
+                                             f"{stem}.{fmt}"),
+                                oitem["LR_UW"][t // 2])
                     writer.save(os.path.join(save_root, fmt, "output",
-                                             item["video_name"], f"{stem}.{fmt}"),
+                                             oitem["video_name"],
+                                             f"{stem}.{fmt}"),
                                 out)
+
+        # multi-host: shard by WHOLE video so recurrent state stays process-local
+        # (data_sampler.py:31-43,64-72 semantics)
+        import jax
+        proc, nproc = jax.process_index(), jax.process_count()
+
+        # dispatch time is attributed evenly to the outputs it completes;
+        # priming dispatches bank their time for the outputs that follow
+        t_unattr = 0.0
+        for i in range(len(ds)):
+            if nproc > 1 and ds.idx_video[i] % nproc != proc:
+                continue
+            item = ds[i]
+            if item.get("is_continue"):
+                agg["frame_len_prev"] += 1
+                continue
+            t0 = time.time()
+            emitted = runner.submit(item["LR_UW"][None, :t],
+                                    item["LR_REF_W"][None, :t],
+                                    item["is_first"], meta=item)
+            t_unattr += time.time() - t0
+            for oitem, sr_dev, _ in emitted:
+                emit(oitem, sr_dev, t_unattr / len(emitted))
+            if emitted:
+                t_unattr = 0.0
+        t0 = time.time()
+        emitted = runner.flush()
+        t_unattr += time.time() - t0
+        for oitem, sr_dev, _ in emitted:
+            emit(oitem, sr_dev, t_unattr / len(emitted))
 
     finally:
         writer.close()
+    total_norm = agg["total_norm"]
     if total_norm:
-        psnr_mean = (psnr_total + psnr_v) / total_norm
-        ssim_mean = (ssim_total + ssim_v) / total_norm
-        time_mean = (time_total + time_v) / total_norm
+        psnr_mean = (agg["psnr_total"] + agg["psnr_v"]) / total_norm
+        ssim_mean = (agg["ssim_total"] + agg["ssim_v"]) / total_norm
+        time_mean = (agg["time_total"] + agg["time_v"]) / total_norm
         line = (f"\n[TOTAL {ckpt_name}|{config.EVAL.data}] "
                 f"PSNR: {psnr_mean:.5f} SSIM: {ssim_mean:.5f} "
                 f"({time_mean:.5f}sec)\n")
@@ -441,6 +468,14 @@ def eval_quan_conf_map(config: Config, max_frames=None):
 def evaluate(config: Config):
     """Dispatch on eval_mode (eval.py:8-21)."""
     mode = config.EVAL.eval_mode
+    if getattr(config, "pipeline_lanes", 0) > 1 and (
+            mode not in ("quan_qual", "qual_quan")
+            or config.network == "RefVSR_IR"
+            or getattr(config, "spatial_devices", 1) > 1):
+        import warnings
+        warnings.warn("pipeline_lanes>1 supports the RefVSR quan_qual eval "
+                      "path only — falling back to plain streaming")
+        config = config.replace(pipeline_lanes=0)
     if mode in ("quan_qual", "qual_quan"):
         return eval_qual_quan(config)
     if mode == "FOV":

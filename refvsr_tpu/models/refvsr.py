@@ -73,18 +73,28 @@ class StreamState:
     the full ~3.7 GB cache every frame and its temps were the largest HLO
     allocations in the 8K stream graph. tail_base None = natural order
     (base 0) for states warmed by hand (bench/profilers). conf_tail /
-    index_tail are small and stay logically ordered (plain shift)."""
+    index_tail are small and stay logically ordered (plain shift).
+
+    pipe_feat/pipe_feat_up/pipe_conf carry the PIPELINED stream's in-flight
+    backward chains (lanes 0..L-2 stacked along batch; see
+    forward_stream_pipelined). None for the plain per-window stream.
+    With pipelining the two aligned rings and conf/index tails hold
+    B + L - 1 frames instead of B (the in-flight chains reach L-1 frames
+    further back)."""
     feat_prop: jnp.ndarray       # (N, h, w, C)
     feat_prop_up: jnp.ndarray    # (N, 2h, 2w, C)
     conf_prop: jnp.ndarray       # (N, h, w, 1)
     flow: jnp.ndarray            # (N, h, w, 2)
     flows_fwd: jnp.ndarray       # (N, T-1, h, w, 2)
     flows_bwd: jnp.ndarray       # (N, T-1, h, w, 2)
-    conf_tail: jnp.ndarray | None = None   # (N, T-T//2, h, w, 1)
-    index_tail: jnp.ndarray | None = None  # (N, T-T//2, L) int32
-    aligned_tail: jnp.ndarray | None = None     # (N, T-T//2, h, w, C) ring
-    aligned_up_tail: jnp.ndarray | None = None  # (N, T-T//2, 2h, 2w, C) ring
+    conf_tail: jnp.ndarray | None = None   # (N, TT, h, w, 1)
+    index_tail: jnp.ndarray | None = None  # (N, TT, L) int32
+    aligned_tail: jnp.ndarray | None = None     # (N, TT, h, w, C) ring
+    aligned_up_tail: jnp.ndarray | None = None  # (N, TT, 2h, 2w, C) ring
     tail_base: jnp.ndarray | None = None        # () int32 ring base
+    pipe_feat: jnp.ndarray | None = None      # ((L-1)*N, h, w, C)
+    pipe_feat_up: jnp.ndarray | None = None   # ((L-1)*N, 2h, 2w, C)
+    pipe_conf: jnp.ndarray | None = None      # ((L-1)*N, h, w, 1)
 
 
 def init_stream_state(n: int, h: int, w: int, mid_channels: int,
@@ -113,13 +123,26 @@ def _flow_up2(flow):
 
 
 class RefVSRNet(nn.Module):
-    """The 'RefVSR' architecture ('Ours' family). config_RefVSR_MFID.py:41-47."""
+    """The 'RefVSR' architecture ('Ours' family). config_RefVSR_MFID.py:41-47.
+
+    pipeline_lanes L > 1 enables PIPELINED streaming (forward_stream_prime /
+    forward_stream_pipelined): the B = T - T//2 backward-chain steps of each
+    output frame are spread over L consecutive dispatches (P = B/L steps
+    per dispatch), so one dispatch advances L independent chains as ONE
+    batch-L prop step sequence instead of B sequential batch-1 steps.
+    Outputs are IDENTICAL to forward_stream (the chains consume the same
+    frames/flows/conf/aligned values, just batched); they emerge L-1
+    dispatches late. TPU rationale: the prop step is fixed-overhead-bound
+    (round-1 measurement: C=128 convs cost only 1.4x C=48), so batching
+    lanes is strongly sublinear. Costs: the aligned rings and conf/index
+    tails grow to B+L-1 frames and L-1 lane carries persist in HBM."""
     scale: int = 4
     num_blocks: int = 30
     mid_channels: int = 48
     matching_ksize: int = 2
     flag_HD_in: bool = False
     zero_flow: bool = False  # EVAL.is_gradio path (RefVSR.py:183-191)
+    pipeline_lanes: int = 0  # 0/1 = plain streaming
 
     def setup(self):
         mid = self.mid_channels
@@ -558,13 +581,40 @@ class RefVSRNet(nn.Module):
         fw_carry, _ = self._forward_branch_full(
             state, lrs, refs, fwd_flows, confs, indices)
         out = jnp.clip(self._finalize(lrs[:, center], bw_carry, fw_carry), 0, 1)
+        conf_tail, index_tail = confs[:, center:], indices[:, center:]
+        pipe = {}
+        if self.pipeline_lanes > 1:
+            # pipelined protocol: caches hold B + L - 1 frames; the window-0
+            # tail frames sit at logical L-1..TT-1 so that after the L-1
+            # priming dispatches (each shifts logicals down by one) frame 0
+            # lands at logical 0 exactly when the first steady dispatch
+            # needs it. Logical 0..L-2 are zero frames "before" the clip —
+            # never read (primes discard the affected lanes' outputs).
+            ext = self.pipeline_lanes - 1
+
+            def front_pad(a):
+                return jnp.concatenate(
+                    [jnp.zeros((a.shape[0], ext) + a.shape[2:], a.dtype), a],
+                    axis=1)
+
+            aligneds = front_pad(aligneds)
+            aligneds_up = front_pad(aligneds_up)
+            conf_tail = front_pad(conf_tail)
+            index_tail = front_pad(index_tail)
+            mid = self.mid_channels
+            h, w = lrs.shape[2], lrs.shape[3]
+            pipe = dict(
+                pipe_feat=jnp.zeros((ext * n, h, w, mid), lrs.dtype),
+                pipe_feat_up=jnp.zeros((ext * n, 2 * h, 2 * w, mid),
+                                       lrs.dtype),
+                pipe_conf=jnp.zeros((ext * n, h, w, 1), lrs.dtype))
         new_state = StreamState(
             feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
             conf_prop=fw_carry[2], flow=fwd_flows[:, center],
             flows_fwd=fwd_flows, flows_bwd=bwd_flows,
-            conf_tail=confs[:, center:], index_tail=indices[:, center:],
+            conf_tail=conf_tail, index_tail=index_tail,
             aligned_tail=aligneds, aligned_up_tail=aligneds_up,
-            tail_base=jnp.zeros((), jnp.int32))
+            tail_base=jnp.zeros((), jnp.int32), **pipe)
         return out, new_state, (bw_carry[2], fw_carry[2], confs[:, center])
 
     def _shift_cached_flows(self, lrs, state: StreamState):
@@ -638,6 +688,131 @@ class RefVSRNet(nn.Module):
             aligned_tail=aligneds, aligned_up_tail=aligneds_up,
             tail_base=base)
         return out, new_state, (bw_carry[2], fw_carry[2], confs[:, 0])
+
+    # ---------------- pipelined streaming ----------------
+
+    def _pipeline_plan(self, t: int):
+        """Static index plan for L-lane pipelined streaming (see class
+        docstring). Returns (L, P, B, TT, center)."""
+        lanes = self.pipeline_lanes
+        center = t // 2
+        b_steps = t - center  # backward-chain steps: frames t-1 .. center
+        assert lanes > 1 and b_steps % lanes == 0, (
+            f"pipeline_lanes={lanes} must divide {b_steps} backward steps")
+        assert center - lanes + 1 >= 0, (
+            f"pipeline_lanes={lanes} needs t >= 2*lanes - 1")
+        return lanes, b_steps // lanes, b_steps, b_steps + lanes - 1, center
+
+    def _pipeline_dispatch(self, lrs, refs, state: StreamState, emit: bool):
+        """One pipelined dispatch at window center d: advance the stream
+        caches by one frame, run P batched prop sub-steps over the L
+        in-flight backward chains, and (emit=True) finish the oldest chain
+        into output frame d - (L-1).
+
+        Lane l handles the chain of output d - l at steps s = l*P + p
+        (p = 0..P-1), consuming frame d + center - l*(P+1) - p: window-
+        relative lr index 2*center - l*(P+1) - p, backward-flow pair at the
+        same relative index (zero flow at s=0 — the chain anchor), and
+        conf/aligned at cache logical TT-1 - (l*(P+1) + p). Each value
+        equals what forward_stream's sequential chain consumes, so outputs
+        are bit-compatible up to batched-op reassociation."""
+        n, t = lrs.shape[:2]
+        lanes, p_steps, _, tt, center = self._pipeline_plan(t)
+        assert state.aligned_tail is not None and state.pipe_feat is not None
+        assert state.aligned_tail.shape[1] == tt, (
+            "state rings are not pipeline-sized; run forward_first on a "
+            "pipeline_lanes>1 net first")
+        dt = lrs.dtype
+
+        # ---- cache advance (same per-frame work as forward_stream)
+        fwd_flows, bwd_flows = self._shift_cached_flows(lrs, state)
+        new_conf, new_index = self.compute_matching(lrs[:, -1:], refs[:, -1:])
+        confs = jnp.concatenate([state.conf_tail[:, 1:], new_conf], 1)
+        indices = jnp.concatenate([state.index_tail[:, 1:], new_index], 1)
+        na, nau = self.compute_aligned(lrs[:, -1], refs[:, -1],
+                                       indices[:, -1])
+        base_old = (state.tail_base if state.tail_base is not None
+                    else jnp.zeros((), jnp.int32))
+        aligneds = jax.lax.dynamic_update_slice_in_dim(
+            state.aligned_tail, na[:, None], base_old, 1)
+        aligneds_up = jax.lax.dynamic_update_slice_in_dim(
+            state.aligned_up_tail, nau[:, None], base_old, 1)
+        base = jnp.mod(base_old + 1, tt)
+
+        # ---- P batched sub-steps over the L lanes
+        carry = (jnp.concatenate([jnp.zeros_like(state.feat_prop),
+                                  state.pipe_feat], 0),
+                 jnp.concatenate([jnp.zeros_like(state.feat_prop_up),
+                                  state.pipe_feat_up], 0),
+                 jnp.concatenate([jnp.zeros_like(state.conf_prop),
+                                  state.pipe_conf], 0))
+        zero_flow = jnp.zeros(state.flow.shape, dt)
+        for p in range(p_steps):
+            lr_l, conf_l, flow_l, al_l, alu_l = [], [], [], [], []
+            for lane in range(lanes):
+                off = lane * (p_steps + 1) + p
+                rel = 2 * center - off
+                lr_l.append(lrs[:, rel])
+                conf_l.append(confs[:, tt - 1 - off])
+                flow_l.append(zero_flow if off == 0 else bwd_flows[:, rel])
+                slot = jnp.mod(base + tt - 1 - off, tt)
+                al_l.append(jax.lax.dynamic_index_in_dim(
+                    aligneds, slot, 1, keepdims=False))
+                alu_l.append(jax.lax.dynamic_index_in_dim(
+                    aligneds_up, slot, 1, keepdims=False))
+            x = {"lr": jnp.concatenate(lr_l, 0),
+                 "conf": jnp.concatenate(conf_l, 0),
+                 "flow": jnp.concatenate(flow_l, 0),
+                 "aligned": jnp.concatenate(al_l, 0),
+                 "aligned_up": jnp.concatenate(alu_l, 0)}
+            carry, _ = self._prop_step("backward", False, carry, x)
+
+        keep = (lanes - 1) * n
+        new_pipe = dict(pipe_feat=carry[0][:keep],
+                        pipe_feat_up=carry[1][:keep],
+                        pipe_conf=carry[2][:keep])
+
+        if not emit:
+            # priming dispatch: the oldest lane's output is a not-yet-real
+            # chain (pre-clip zeros feed it) — drop it; keep the fw carry.
+            new_state = state.replace(
+                flow=fwd_flows[:, center - lanes + 1],
+                flows_fwd=fwd_flows, flows_bwd=bwd_flows,
+                conf_tail=confs, index_tail=indices,
+                aligned_tail=aligneds, aligned_up_tail=aligneds_up,
+                tail_base=base, **new_pipe)
+            return new_state
+
+        bw_carry = (carry[0][keep:], carry[1][keep:], carry[2][keep:])
+        # forward step + finalize for the emitted frame d - (L-1): its
+        # conf/aligned sit at cache logical 0 (= ring slot `base`)
+        fwi = center - lanes + 1
+        fw_carry = self._forward_step0(
+            state, lrs[:, fwi], confs[:, 0],
+            aligned=jax.lax.dynamic_index_in_dim(aligneds, base, 1,
+                                                 keepdims=False),
+            aligned_up=jax.lax.dynamic_index_in_dim(aligneds_up, base, 1,
+                                                    keepdims=False))
+        out = jnp.clip(self._finalize(lrs[:, fwi], bw_carry, fw_carry), 0, 1)
+        new_state = StreamState(
+            feat_prop=fw_carry[0], feat_prop_up=fw_carry[1],
+            conf_prop=fw_carry[2], flow=fwd_flows[:, center - lanes + 1],
+            flows_fwd=fwd_flows, flows_bwd=bwd_flows,
+            conf_tail=confs, index_tail=indices,
+            aligned_tail=aligneds, aligned_up_tail=aligneds_up,
+            tail_base=base, **new_pipe)
+        return out, new_state, (bw_carry[2], fw_carry[2], confs[:, 0])
+
+    def forward_stream_prime(self, lrs, refs, state: StreamState):
+        """Priming dispatch (windows 1..L-1 after forward_first): advances
+        caches and in-flight chains, emits nothing."""
+        return self._pipeline_dispatch(lrs, refs, state, emit=False)
+
+    def forward_stream_pipelined(self, lrs, refs, state: StreamState):
+        """Steady pipelined dispatch at window center d: emits output frame
+        d - (L-1) (identical values to forward_stream's output for that
+        frame, L-1 dispatches late)."""
+        return self._pipeline_dispatch(lrs, refs, state, emit=True)
 
     def __call__(self, lrs, refs, state: StreamState):
         """Default entry = training forward (used for init/jit checks)."""

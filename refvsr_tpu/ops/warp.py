@@ -150,6 +150,15 @@ def _bilinear_sample_chunk(canvas, h, w, dt, sx, sy, padding):
     return out
 
 
+# batched warps above this OUTPUT byte size process items one at a time
+# (lax.map): warp cost is row-count bound (~linear in batch), so splitting
+# loses nothing, while the whole-array formulations' temps (quad canvas in
+# the cond fallback branch, banded output copies) scale with batch and OOM —
+# the pipelined stream's batch-2 UP-warp hit 23.4 GB via the batch-2 quad
+# canvas (4x bf16[2,2162,3842,48] at 2.7x layout padding).
+_BATCH_SPLIT_BYTES = 512 << 20
+
+
 def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
                      padding: str) -> jnp.ndarray:
     """x: (N, H, W, C); sx/sy: (N, Ho, Wo) f32 source coords in pixel space."""
@@ -160,6 +169,15 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     out = _spatial.maybe_sharded_sample(x, sx, sy, padding)
     if out is not None:
         return out
+    n = x.shape[0]
+    out_bytes = (n * sx.shape[1] * sx.shape[2] * x.shape[-1]
+                 * x.dtype.itemsize)
+    if n > 1 and out_bytes >= _BATCH_SPLIT_BYTES:
+        def one(args):
+            xi, sxi, syi = args
+            return _bilinear_sample(xi[None], sxi[None], syi[None],
+                                    padding)[0]
+        return lax.map(one, (x, sx, sy))
     if (padding == "zeros"
             and x.shape[0] * sx.shape[1] * sx.shape[2] >= _BANDED_MIN_PIXELS):
         from refvsr_tpu.ops.warp_banded import banded_sample

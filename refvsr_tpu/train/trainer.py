@@ -47,7 +47,9 @@ def build_network(config: Config) -> Any:
                          mid_channels=config.mid_channels,
                          matching_ksize=config.matching_ksize,
                          flag_HD_in=config.flag_HD_in,
-                         zero_flow=config.EVAL.is_gradio)
+                         zero_flow=config.EVAL.is_gradio,
+                         pipeline_lanes=(0 if config.is_train
+                                         else config.pipeline_lanes))
     if config.network == "RefVSR_IR":
         from refvsr_tpu.models.refvsr_ir import RefVSRIRNet
         return RefVSRIRNet(scale=config.scale, num_blocks=config.num_blocks,
@@ -251,6 +253,28 @@ class Trainer:
         if "fns" not in self._eval_cache:
             self._eval_cache["fns"] = self._make_eval_fns()
         return self._eval_cache["fns"]
+
+    @property
+    def pipeline_eval_fns(self):
+        """(eval_prime, eval_pipelined) jitted dispatches for pipelined
+        streaming (models/refvsr.py), or None when pipeline_lanes <= 1."""
+        if getattr(self.net, "pipeline_lanes", 0) <= 1:
+            return None
+        if "pipe" not in self._eval_cache:
+            net = self.net
+
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def eval_prime(params, lrs, refs, state):
+                return net.apply(params, lrs, refs, state,
+                                 method=type(net).forward_stream_prime)
+
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def eval_pipelined(params, lrs, refs, state):
+                return net.apply(params, lrs, refs, state,
+                                 method=type(net).forward_stream_pipelined)
+
+            self._eval_cache["pipe"] = (eval_prime, eval_pipelined)
+        return self._eval_cache["pipe"]
 
     def current_lr(self, ts: TrainState) -> float:
         return float(self.schedule(ts.step))

@@ -67,6 +67,10 @@ def build_parser():
     p.add_argument("--spatial_halo", type=int, default=None,
                    help="halo rows exchanged per neighbor for shard-local "
                         "warp/gather (default 32)")
+    p.add_argument("--pipeline_lanes", type=int, default=None,
+                   help="eval: batch L in-flight backward chains per "
+                        "dispatch (pipelined streaming, models/refvsr.py); "
+                        "outputs identical, L-1 windows late")
     return p
 
 
@@ -84,7 +88,8 @@ def build_config(args):
                        ("log_offset", args.log_offset),
                        ("total_itr", args.total_itr),
                        ("spatial_devices", args.spatial_devices),
-                       ("spatial_halo", args.spatial_halo)):
+                       ("spatial_halo", args.spatial_halo),
+                       ("pipeline_lanes", args.pipeline_lanes)):
         if val is not None:
             overrides[field] = val
     if args.save_sample:

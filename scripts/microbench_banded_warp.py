@@ -126,16 +126,29 @@ def bench():
         timeit(f"quad  {name}", jax.jit(
             lambda x, f: jnp.sum(ref_warp(x, f).astype(jnp.float32))), x, flow)
 
+        gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        sy = gy[None] + flow[..., 1]
+        sx = gx[None] + flow[..., 0]
         for xb, th in ((8, 8), (16, 8), (8, 16)):
             fn = jax.jit(functools.partial(
                 lambda x, sy, sx, xb, th: jnp.sum(
                     banded_sample(x, sy, sx, xb=xb, th=th)[0]
                     .astype(jnp.float32)), xb=xb, th=th))
-            gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
-                                 np.arange(w, dtype=np.float32), indexing="ij")
-            sy = gy[None] + flow[..., 1]
-            sx = gx[None] + flow[..., 0]
             timeit(f"banded xb={xb} th={th} {name}", fn, x, sy, sx)
+
+        # cost-model breakdown (xb=8, th=16 fixed): shrink the select window
+        # below correctness (ok=False is fine — same compute shape) and read
+        # time vs select-pass count; the intercept is gather+layout cost.
+        for ysel, xse in ((4, 4), (4, 0), (2, 4), (2, 0)):
+            passes = ysel * (8 + xse)
+            fn = jax.jit(functools.partial(
+                lambda x, sy, sx, ysel, xse: jnp.sum(
+                    banded_sample(x, sy, sx, xb=8, th=16, ysel=ysel,
+                                  xsel_extra=xse)[0].astype(jnp.float32)),
+                ysel=ysel, xse=xse))
+            timeit(f"banded sel={ysel}x{8+xse} ({passes}p) {name}",
+                   fn, x, sy, sx)
 
 
 if __name__ == "__main__":

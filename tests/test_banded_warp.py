@@ -68,6 +68,26 @@ def test_banded_batched_matches_quad():
                                    np.asarray(want), atol=2e-5)
 
 
+def test_batch_split_matches_batched(monkeypatch):
+    """Above _BATCH_SPLIT_BYTES a batched warp processes items one at a time
+    via lax.map (ops/warp.py) — outputs must equal the whole-batch path."""
+    key = jax.random.PRNGKey(31)
+    n, h, w, c = 3, 40, 56, 8
+    kx, kf = jax.random.split(key)
+    x = jax.random.uniform(kx, (n, h, w, c), jnp.float32)
+    flows = jnp.stack([_smooth_flow(jax.random.fold_in(kf, i), h, w,
+                                    mag=6.0 + 8.0 * i)[0] for i in range(n)])
+    want = warp(x, flows)
+    monkeypatch.setattr(warp_mod, "_BATCH_SPLIT_BYTES", 1)
+    got = warp(x, flows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # and with the banded gate open too (split outer, banded inner)
+    monkeypatch.setattr(warp_mod, "_BANDED_MIN_PIXELS", 0)
+    got_b = warp(x, flows)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want),
+                               atol=2e-5)
+
+
 def test_banded_invalidates_on_violent_flow():
     key = jax.random.PRNGKey(3)
     x = jax.random.uniform(key, (1, 64, 96, 4), jnp.float32)
