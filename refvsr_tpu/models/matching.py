@@ -371,17 +371,24 @@ class AlignedConv2d(nn.Module):
         affine = jnp.clip(affine, -3.0, 3.0)
 
         n, h, w, _ = affine.shape
+        # ALL coordinate math in f32 (reference alignment.py keeps p_0/p_n
+        # f32 under autocast too): bf16 coords at canvas scale quantize to
+        # 8-16 px steps (7 mantissa bits; ulp(2048)=16), which would scatter
+        # the taps — the per-pixel affine is sub-pixel work
+        affine = affine.astype(jnp.float32)
         # constant tap offsets (alignment.py:102-107): rows/cols at ±(j+0.5)
         half = (ks - 1) // 2
         taps_1d = np.arange(-half - 0.5, half + 0.6, 1.0)
         pn_row, pn_col = np.meshgrid(taps_1d, taps_1d, indexing="ij")
-        pn_row = jnp.asarray(pn_row.reshape(-1), affine.dtype)   # (ntaps,)
-        pn_col = jnp.asarray(pn_col.reshape(-1), affine.dtype)
+        pn_row = jnp.asarray(pn_row.reshape(-1), jnp.float32)   # (ntaps,)
+        pn_col = jnp.asarray(pn_col.reshape(-1), jnp.float32)
         # anchors (alignment.py:109-117): 1 + i*stride
         p0_row = jnp.asarray(
-            1.0 + np.arange(h) * self.stride, affine.dtype)[None, :, None, None]
+            1.0 + np.arange(h) * self.stride,
+            jnp.float32)[None, :, None, None]
         p0_col = jnp.asarray(
-            1.0 + np.arange(w) * self.stride, affine.dtype)[None, None, :, None]
+            1.0 + np.arange(w) * self.stride,
+            jnp.float32)[None, None, :, None]
 
         s_row = affine[..., 0:1]
         s_col = affine[..., 1:2]

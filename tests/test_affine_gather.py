@@ -104,3 +104,32 @@ def test_affine_gather_chunked_parity(rng, monkeypatch):
     chunked = affine_bilinear_gather(x, pr, pc)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref),
                                rtol=0, atol=1e-6)
+
+
+def test_affine_coords_stay_f32_under_bf16(rng):
+    """Tap coordinates must be computed in f32 even under a bf16 compute
+    dtype: bf16 has 7 mantissa bits, so coords at canvas row >1024 would
+    quantize to 8-16 px steps and scatter the taps (matching.py f32 coord
+    island). The bf16 run must stay close to the f32 run at a TALL canvas."""
+    import jax
+    from refvsr_tpu.models.matching import AlignedConv2d
+    from refvsr_tpu.utils.precision import cast_floating
+
+    net = AlignedConv2d(kernel_size=2, stride=2)
+    n, hx, wx, c = 1, 1280, 16, 4
+    x = rng.standard_normal((n, hx, wx, c)).astype(np.float32)
+    q = rng.standard_normal((n, hx // 2, wx // 2, 3)).astype(np.float32)
+    r = rng.standard_normal((n, hx, wx, 3)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(q),
+                      jnp.asarray(r))
+    want = np.asarray(net.apply(params, jnp.asarray(x), jnp.asarray(q),
+                                jnp.asarray(r)), np.float32)
+    pb = cast_floating(params, jnp.bfloat16)
+    got = np.asarray(net.apply(pb, jnp.asarray(x, jnp.bfloat16),
+                               jnp.asarray(q, jnp.bfloat16),
+                               jnp.asarray(r, jnp.bfloat16)),
+                     np.float32)
+    # bf16 features add noise, but taps must land on the same pixels:
+    # pre-fix this diverged by O(feature std) at rows > 1024
+    err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-6)
+    assert err < 0.15, f"bf16 affine output diverged (rel err {err:.3f})"
