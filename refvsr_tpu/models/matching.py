@@ -43,6 +43,9 @@ _AFFINE_QUAD_BYTES = 1536 << 20
 _HEAD_TILE_PIXELS = 1 << 22
 # affine gather: chunk the gathered corner temps above this many elements
 _AFFINE_CHUNK_ELEMS = 2 << 20
+# dense-grid affine gathers at/above this many output samples use the banded
+# formulation (affine_banded_gather) with the per-tap path as cond fallback
+_AFFINE_BANDED_MIN_PIXELS = 1 << 18
 
 
 def _l2_normalize(x, axis, eps=1e-12):
@@ -173,25 +176,17 @@ class FeatureMatching(nn.Module):
 
 
 
-def affine_bilinear_gather(xp, p_row, p_col):
-    """Bilinear sampling with the reference's clamped-corner semantics
-    (alignment.py:62-89): corners q are clamped into the canvas independently
-    of the weights, so when the lt corner sits on the last row/col the rb
-    corner re-reads the SAME row/col — a deliberate boundary double-count.
-    Gathering each corner at its OWN clamped coordinate reproduces this
-    exactly (the collapsed rb gather lands on the clamped lt pixel).
-
-    ONE quad-canvas row gather per tap (see ops/warp.py — row-count bound),
-    anchored at the clamped lt corner; clamp collapses (rb == lt on either
-    axis, at either canvas edge) are reproduced exactly by transferring the
-    collapsed corner's weight onto the corner it lands on. The canvas is
-    built once, OUTSIDE the chunk scan (round 1 rebuilt it per chunk:
-    180 ms -> ~50 ms at the 544x960 2x-grid shapes).
-
-    xp: (N, Hp, Wp, C) already-padded canvas; p_row/p_col: (N, ...) f32."""
-    from refvsr_tpu.ops.warp import build_corner_canvas, gather_corners
-
-    n, hp, wp, c = xp.shape
+def _affine_corner_weights(hp, wp, p_row, p_col):
+    """Clamped-corner anchors + collapse-routed quad weights of the
+    reference's affine bilinear sampling (alignment.py:62-89): corners q are
+    clamped into the canvas independently of the weights, so when the lt
+    corner sits on the last row/col the rb corner re-reads the SAME row/col
+    — a deliberate boundary double-count. Gathering each corner at its OWN
+    clamped coordinate reproduces this exactly (the collapsed rb gather
+    lands on the clamped lt pixel): when the independent clamp makes rb land
+    ON lt, the rb/lb/rt weight is routed to the corner actually read.
+    Verified against all 4 cases. Returns (lt_row_c, lt_col_c int32,
+    w00, w01, w10, w11)."""
     lt_row = jnp.floor(p_row)
     lt_col = jnp.floor(p_col)
     rb_row, rb_col = lt_row + 1, lt_col + 1
@@ -208,15 +203,55 @@ def affine_bilinear_gather(xp, p_row, p_col):
     g_lb = (1 + (lt_row_c - p_row_c)) * (1 - (rb_col_c - p_col_c))
     g_rt = (1 - (rb_row_c - p_row_c)) * (1 + (lt_col_c - p_col_c))
 
-    # collapse handling: the quad gather reads (lt, lt+1) on each axis; when
-    # the reference's independent clamp makes rb land ON lt, route rb/lb/rt
-    # weight to the corner actually read. Verified against all 4 cases.
     cx = (rb_col_c == lt_col_c).astype(g_lt.dtype)
     cy = (rb_row_c == lt_row_c).astype(g_lt.dtype)
     w00 = g_lt + cx * g_lb + cy * g_rt + cx * cy * g_rb
     w01 = (1 - cx) * (g_lb + cy * g_rb)
     w10 = (1 - cy) * (g_rt + cx * g_rb)
     w11 = (1 - cx) * (1 - cy) * g_rb
+    return (lt_row_c.astype(jnp.int32), lt_col_c.astype(jnp.int32),
+            w00, w01, w10, w11)
+
+
+def affine_banded_gather(xp, p_row, p_col):
+    """Banded-gather formulation of the affine tap sampler for DENSE-GRID
+    coord layouts (see ops/warp_banded.py for the machinery): p_row/p_col
+    are (N, h*ks, w*ks) with element (i*ks+ti, j*ks+tj) = tap (ti, tj) of
+    grid point (i, j). Because stride == ks in every RefVSR use, the nominal
+    (identity-affine) tap positions form EXACTLY a unit pixel grid
+    (1 + stride*i + tap = 1 + dense index), so the banded core's
+    iota-expected-position machinery applies unchanged and the per-tile
+    select window only has to absorb the affine's deviation from identity
+    (|s-1|, theta — sub-pixel for typical learned affines). ~7x fewer
+    gathered rows than the per-tap pair-canvas path. Returns (out, ok); on
+    ok=False (violent affine / heavy boundary clamping) callers fall back to
+    affine_bilinear_gather. Exact: same clamped-corner weights."""
+    from refvsr_tpu.ops.warp_banded import _banded_core
+
+    n, hp, wp, c = xp.shape
+    ltr, ltc, w00, w01, w10, w11 = _affine_corner_weights(
+        hp, wp, p_row.astype(jnp.float32), p_col.astype(jnp.float32))
+    live = jnp.ones(p_row.shape, jnp.bool_)
+    return _banded_core(xp, ltr, ltc, (w00, w01, w10, w11), live,
+                        th=16, two=128, xb=8, ysel=4, xsel_extra=4)
+
+
+def affine_bilinear_gather(xp, p_row, p_col):
+    """Per-tap quad/pair-canvas affine sampler (the general-layout baseline
+    and the banded path's fallback; see _affine_corner_weights for the
+    clamped-corner semantics).
+
+    ONE quad-canvas row gather per tap (see ops/warp.py — row-count bound),
+    anchored at the clamped lt corner. The canvas is built once, OUTSIDE the
+    chunk scan (round 1 rebuilt it per chunk: 180 ms -> ~50 ms at the
+    544x960 2x-grid shapes).
+
+    xp: (N, Hp, Wp, C) already-padded canvas; p_row/p_col: (N, ...) f32."""
+    from refvsr_tpu.ops.warp import build_corner_canvas, gather_corners
+
+    n, hp, wp, c = xp.shape
+    lt_row_i, lt_col_i, w00, w01, w10, w11 = _affine_corner_weights(
+        hp, wp, p_row, p_col)
 
     # quad threshold knob (REFVSR_AFFINE_QUAD_MB): with the stream-path RAP
     # cache this gather runs once per frame. The quad halves the gathered
@@ -234,8 +269,7 @@ def affine_bilinear_gather(xp, p_row, p_col):
                 + v10 * w10[..., None].astype(dt)
                 + v11 * w11[..., None].astype(dt))
 
-    args = (lt_row_c.astype(jnp.int32), lt_col_c.astype(jnp.int32),
-            w00, w01, w10, w11)
+    args = (lt_row_i, lt_col_i, w00, w01, w10, w11)
 
     idx_shape = p_row.shape
     total = int(np.prod(idx_shape[1:]))
@@ -411,13 +445,30 @@ class AlignedConv2d(nn.Module):
         from refvsr_tpu.parallel.spatial import maybe_sharded_affine_gather
         out = maybe_sharded_affine_gather(x, pad, p_row, p_col,
                                           min_halo=min_halo)
+        c = x.shape[-1]
         if out is None:
             xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
                          mode="reflect")
-            out = affine_bilinear_gather(xp, p_row, p_col)
+
+            def dense(a):
+                # (N, h, w, ks*ks) -> dense output grid (N, h*ks, w*ks):
+                # element (i*ks+ti, j*ks+tj) = tap (ti, tj) of point (i, j)
+                a = a.reshape(n, h, w, ks, ks).transpose(0, 1, 3, 2, 4)
+                return a.reshape(n, h * ks, w * ks)
+
+            def taps_path():
+                o = affine_bilinear_gather(xp, p_row, p_col)
+                o = o.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)
+                return o.reshape(n, h * ks, w * ks, c)
+
+            if (self.stride == ks
+                    and n * h * w * ks * ks >= _AFFINE_BANDED_MIN_PIXELS):
+                fast, ok = affine_banded_gather(xp, dense(p_row),
+                                                dense(p_col))
+                return jax.lax.cond(ok, lambda: fast, taps_path)
+            return taps_path()
 
         # (N, h, w, ks, ks, C) -> (N, h*ks, w*ks, C)  (alignment.py:172-178)
-        c = x.shape[-1]
         out = out.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)
         return out.reshape(n, h * ks, w * ks, c)
 
