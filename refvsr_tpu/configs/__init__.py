@@ -250,8 +250,15 @@ def load_config(path: str) -> Config:
         d = json.load(f)
     ev = d.pop("EVAL", {})
     known = {f.name for f in dataclasses.fields(Config)}
-    d = {k: v for k, v in d.items() if k in known and k != "EVAL"}
     ev_known = {f.name for f in dataclasses.fields(EvalConfig)}
+    unknown = sorted([k for k in d if k not in known and k != "EVAL"] +
+                     [f"EVAL.{k}" for k in ev if k not in ev_known])
+    if unknown:
+        # a typo'd field must not silently round-trip to a default
+        import warnings
+        warnings.warn(f"config '{path}' has unknown keys (dropped): "
+                      f"{unknown}")
+    d = {k: v for k, v in d.items() if k in known and k != "EVAL"}
     ev = {k: v for k, v in ev.items() if k in ev_known}
     # tuples serialized as lists
     if "decay_period" in d and isinstance(d["decay_period"], list):

@@ -125,3 +125,38 @@ class LossModule(nn.Module):
         errs["total"] = total
         errs["PSNR"] = jax.lax.stop_gradient(psnr(sr_cmp, hr))
         return errs
+
+    def vis_maps(self, sr, hr, refs):
+        """Loss-side sample visualizations (Loss.py:108-134): the CX
+        confidence maps of each contextual term, min-max normalized per
+        batch item like the reference's norm_res_vis (models/utils.py:23-32),
+        keyed with the reference's outs['vis'] names. Returns
+        {name: (N', hy, wy, 1)} maps in [0, 1]."""
+        def norm_res_vis(m):
+            flat = m.reshape(m.shape[0], -1)
+            flat = flat - flat.min(axis=1, keepdims=True)
+            flat = flat / jnp.maximum(flat.max(axis=1, keepdims=True), 1e-12)
+            return flat.reshape(m.shape)
+
+        if self.flag_HD_in and hr.shape != sr.shape:
+            sr_cmp = jnp.clip(resize(sr, scale_factor=1.0 / self.scale,
+                                     mode="bicubic", align_corners=False),
+                              0, 1)
+        else:
+            sr_cmp = sr
+        vis = {}
+        for _, ltype in self.terms:
+            if ltype.startswith("MFID_ref"):
+                n, t = refs.shape[:2]
+                sr_b = jnp.broadcast_to(sr[:, None], (n, t) + sr.shape[1:])
+                sr_b = sr_b.reshape((n * t,) + sr.shape[1:])
+                ref_b = refs.reshape((n * t,) + refs.shape[2:])
+                _, c = self.cx_mods[ltype](sr_b, ref_b)
+                vis["contextual_ref_MFID_C"] = norm_res_vis(c)  # Loss.py:123
+            elif ltype.startswith("FID_ref"):
+                _, c = self.cx_mods[ltype](sr, refs[:, -1])
+                vis["contextual_ref_C"] = norm_res_vis(c)       # Loss.py:112
+            elif ltype.startswith("FID_hr"):
+                _, c_sh = self.cx_mods[ltype](sr_cmp, hr)
+                vis["contextual_hr_C_sh"] = norm_res_vis(c_sh)  # Loss.py:133
+        return vis

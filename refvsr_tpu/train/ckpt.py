@@ -116,7 +116,22 @@ class CkptManager:
             from refvsr_tpu.utils.convert import (convert_state_dict,
                                                   load_torch_checkpoint)
             sd = load_torch_checkpoint(path)
-            params, _, _ = convert_state_dict(sd, template, strict=False)
+            params, missing, unused = convert_state_dict(
+                sd, template, strict=False)
+            # strict=False is parity (reference also load_state_dict
+            # strict-by-default on a matching arch), but a silently
+            # mis-matched variant would eval with random-init leaves —
+            # surface any unmapped keys (known non-weight buffers excluded
+            # by the converter already)
+            if missing or unused:
+                import warnings
+                warnings.warn(
+                    f"torch checkpoint '{file_name}' did not fully map: "
+                    f"{len(missing)} target leaves keep their current "
+                    f"values (e.g. {sorted(missing)[:3]}), "
+                    f"{len(unused)} source keys unused "
+                    f"(e.g. {sorted(unused)[:3]}). Wrong --config variant "
+                    "for this checkpoint?")
         else:
             with open(path, "rb") as f:
                 params = fser.from_bytes(template, f.read())

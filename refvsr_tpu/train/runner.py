@@ -58,6 +58,7 @@ class Runner:
             self._snapshot_sources()
         self._tb = None
         self._vis_fn = None
+        self._cx_vis_fn = None
         self.ts: TrainState | None = None
         self.loss_params = None
         self.epoch0 = 0
@@ -213,6 +214,48 @@ class Runner:
         except Exception:
             return None
 
+    def _loss_cx_vis(self, item, sr, t):
+        """Loss-side CX confidence tiles: the reference stores the contextual
+        maps under outs['vis'] (Loss.py:112/123/133) and run.py:177-196 dumps
+        them with the samples. CX cost is quadratic in feature positions, so
+        (like the reference, which only ever computes it on training patches)
+        the maps are evaluated on an aligned center crop sized to the training
+        patch, not the full validation frame."""
+        cfg = self.config
+        from refvsr_tpu.losses import cx_options, parse_loss_spec
+        if not any(cx_options(lt) for _, lt in parse_loss_spec(cfg.loss)):
+            return []
+        try:
+            if self._cx_vis_fn is None:
+                loss_mod = self.trainer.loss_mod
+
+                @jax.jit
+                def vis(loss_params, sr, hr, refs):
+                    return loss_mod.apply(loss_params, sr, hr, refs,
+                                          method=type(loss_mod).vis_maps)
+                self._cx_vis_fn = vis
+
+            sr_h, sr_w = sr.shape[0], sr.shape[1]
+            tgt = 4 * cfg.patch_size
+
+            def crop(a):
+                # center crop, size proportional to the tensor's own
+                # resolution so all crops cover the same image region
+                h, w = a.shape[-3:-1]
+                ch, cw = min(h, tgt * h // sr_h), min(w, tgt * w // sr_w)
+                y, x = (h - ch) // 2, (w - cw) // 2
+                return a[..., y:y + ch, x:x + cw, :]
+
+            ref_key = "HR_REF_T" if cfg.is_use_T else "HR_REF_W"
+            maps = self._cx_vis_fn(
+                self.loss_params, jnp.asarray(crop(sr)[None]),
+                jnp.asarray(crop(item["HR_UW"][t // 2])[None]),
+                jnp.asarray(crop(item[ref_key][:t])[None]))
+            return [(k, np.asarray(v[0, ..., 0], np.float32))
+                    for k, v in maps.items()]
+        except Exception:
+            return []
+
     def validate(self, max_items: int | None = None) -> float:
         """Streaming validation PSNR over the valid split (run.py:94-136)."""
         cfg = self.config
@@ -259,6 +302,7 @@ class Runner:
                           _norm_res_vis(np.maximum(conf_bw, conf_fw)))]
                 tiles.append(("FW_aa2_fm_ref_aligned",
                               self._warped_ref_vis(item, t)))
+                tiles.extend(self._loss_cx_vis(item, out, t))
                 for tag, img in tiles:
                     if img is None:
                         continue

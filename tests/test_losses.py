@@ -79,6 +79,28 @@ def test_loss_module_full_spec(rng):
         rtol=1e-6)
 
 
+def test_loss_vis_maps(rng):
+    """Loss-side CX confidence visualizations (Loss.py:112/123/133 +
+    norm_res_vis): right keys, feature-grid shapes, [0,1] range."""
+    spec = "1*L1_lf+0.05*MFID_ref_X_mu+0.01*FID_hr"
+    mod = LossModule(spec=spec, scale=4)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    sr = jax.random.uniform(k1, (1, 16, 16, 3))
+    hr = jax.random.uniform(k2, (1, 16, 16, 3))
+    refs = jax.random.uniform(k3, (1, 2, 16, 16, 3))
+    params = mod.init(key, sr, hr, refs)
+    vis = mod.apply(params, sr, hr, refs, method=LossModule.vis_maps)
+    assert set(vis) == {"contextual_ref_MFID_C", "contextual_hr_C_sh"}
+    for k, v in vis.items():
+        v = np.asarray(v)
+        assert v.ndim == 4 and v.shape[-1] == 1, (k, v.shape)
+        assert np.isfinite(v).all()
+        assert v.min() >= 0.0 and v.max() <= 1.0 + 1e-6, k
+    # MFID maps are per (batch x ref-frame)
+    assert vis["contextual_ref_MFID_C"].shape[0] == 2
+
+
 def test_prefetch_iterator():
     from refvsr_tpu.data.prefetch import prefetch
     assert list(prefetch(range(10), depth=3)) == list(range(10))

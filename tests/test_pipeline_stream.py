@@ -156,6 +156,65 @@ def test_eval_qual_quan_pipelined_matches_plain(fake_dataset,
     np.testing.assert_allclose(piped["SSIM"], plain["SSIM"], atol=1e-4)
 
 
+def test_eval_pipelined_vid_name_filtering_matches_plain(tmp_path_factory):
+    """--vid_name filtering skips whole videos mid-run; skipped frames
+    inflate the NEXT MEAN line's denominator in stream order (reference
+    quirk, eval_qual_quan.py:32-34). With pipelined lanes the increments
+    must be applied in emit order, not submit order, or the score files
+    diverge (r3 advisor finding, eval/runner.py). Compares the full score
+    files line-for-line (timings stripped)."""
+    import glob
+    import os
+    import re
+
+    from conftest import write_clip_triplet
+
+    from refvsr_tpu.configs import get_config, set_data_path
+    from refvsr_tpu.eval.runner import eval_qual_quan
+
+    root = tmp_path_factory.mktemp("RealMCVSR_vidname")
+    ds_root = root / "RealMCVSR"
+    for clip in ("0010", "0011", "0012"):
+        for cam in ("UW", "W", "T"):
+            write_clip_triplet(ds_root, "test", cam, clip, 8, 64, 64,
+                               seed=hash(("test", clip, cam)) % 2**31)
+
+    def run(lanes):
+        log = tmp_path_factory.mktemp(f"logs_vid{lanes}")
+        c = get_config(
+            "RefVSR_MFID", mode="tinyvid", is_train=False,
+            data_offset=str(root), log_offset=str(log),
+            batch_size=1, frame_num=3, frame_itr_num=2,
+            num_blocks=2, mid_channels=8, reset_branch=2,
+            loss="1*L1", thread_num=0, pipeline_lanes=lanes)
+        c = set_data_path(c, is_train=False)
+        c.EVAL.quantitative_only = True
+        # skip the MIDDLE video: its frames arrive between video 0's last
+        # submit and video 2's first — exactly the racy window
+        c.EVAL.vid_name = ["0010", "0012"]
+        res = eval_qual_quan(c)
+        files = glob.glob(os.path.join(c.result_dir, "**", "score_*.txt"),
+                          recursive=True)
+        assert len(files) == 1, files
+        with open(files[0]) as f:
+            lines = [re.sub(r"\([0-9.]+sec\)", "(Xsec)", ln.rstrip())
+                     for ln in f]
+        return res, lines
+
+    res_plain, lines_plain = run(0)
+    res_piped, lines_piped = run(2)
+    assert res_piped["frames"] == res_plain["frames"] == 16
+    assert len(lines_plain) == len(lines_piped)
+    for lp, lq in zip(lines_plain, lines_piped):
+        # PSNR digits can wobble in the last decimal between graphs; the
+        # MEAN denominators (the advisor's finding) shift values by >0.2 dB
+        if lp != lq:
+            nums_p = [float(x) for x in re.findall(r"\d+\.\d+", lp)]
+            nums_q = [float(x) for x in re.findall(r"\d+\.\d+", lq)]
+            np.testing.assert_allclose(nums_q, nums_p, atol=2e-3)
+            assert re.sub(r"\d+\.\d+", "F", lp) == re.sub(r"\d+\.\d+", "F", lq)
+
+
 def test_lanes_gt2_with_reset_rejected(setup):
     net = tiny_net(pipeline_lanes=4)
     ef, es = _fns(net)
