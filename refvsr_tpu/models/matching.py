@@ -43,9 +43,12 @@ _AFFINE_QUAD_BYTES = 1536 << 20
 _HEAD_TILE_PIXELS = 1 << 22
 # affine gather: chunk the gathered corner temps above this many elements
 _AFFINE_CHUNK_ELEMS = 2 << 20
-# dense-grid affine gathers at/above this many output samples use the banded
-# formulation (affine_banded_gather) with the per-tap path as cond fallback
-_AFFINE_BANDED_MIN_PIXELS = 1 << 18
+# NOTE: a banded-gather formulation of the affine sampler (dense-grid tap
+# layout through ops/warp_banded._banded_core) was built in r3 and DELETED in
+# r4 after chip measurement: compute_aligned at 1080p-HD ran 1332 ms banded
+# vs 852 ms on the per-tap canvas path (the tap layout defeats the band
+# locality the flow warp enjoys), and its lax.cond dual graph inflated the
+# stream step's peak HBM (docs/ROUND4_NOTES.md).
 
 
 def _l2_normalize(x, axis, eps=1e-12):
@@ -211,29 +214,6 @@ def _affine_corner_weights(hp, wp, p_row, p_col):
     w11 = (1 - cx) * (1 - cy) * g_rb
     return (lt_row_c.astype(jnp.int32), lt_col_c.astype(jnp.int32),
             w00, w01, w10, w11)
-
-
-def affine_banded_gather(xp, p_row, p_col):
-    """Banded-gather formulation of the affine tap sampler for DENSE-GRID
-    coord layouts (see ops/warp_banded.py for the machinery): p_row/p_col
-    are (N, h*ks, w*ks) with element (i*ks+ti, j*ks+tj) = tap (ti, tj) of
-    grid point (i, j). Because stride == ks in every RefVSR use, the nominal
-    (identity-affine) tap positions form EXACTLY a unit pixel grid
-    (1 + stride*i + tap = 1 + dense index), so the banded core's
-    iota-expected-position machinery applies unchanged and the per-tile
-    select window only has to absorb the affine's deviation from identity
-    (|s-1|, theta — sub-pixel for typical learned affines). ~7x fewer
-    gathered rows than the per-tap pair-canvas path. Returns (out, ok); on
-    ok=False (violent affine / heavy boundary clamping) callers fall back to
-    affine_bilinear_gather. Exact: same clamped-corner weights."""
-    from refvsr_tpu.ops.warp_banded import _banded_core
-
-    n, hp, wp, c = xp.shape
-    ltr, ltc, w00, w01, w10, w11 = _affine_corner_weights(
-        hp, wp, p_row.astype(jnp.float32), p_col.astype(jnp.float32))
-    live = jnp.ones(p_row.shape, jnp.bool_)
-    return _banded_core(xp, ltr, ltc, (w00, w01, w10, w11), live,
-                        th=16, two=128, xb=8, ysel=4, xsel_extra=4)
 
 
 def affine_bilinear_gather(xp, p_row, p_col):
@@ -449,24 +429,9 @@ class AlignedConv2d(nn.Module):
         if out is None:
             xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
                          mode="reflect")
-
-            def dense(a):
-                # (N, h, w, ks*ks) -> dense output grid (N, h*ks, w*ks):
-                # element (i*ks+ti, j*ks+tj) = tap (ti, tj) of point (i, j)
-                a = a.reshape(n, h, w, ks, ks).transpose(0, 1, 3, 2, 4)
-                return a.reshape(n, h * ks, w * ks)
-
-            def taps_path():
-                o = affine_bilinear_gather(xp, p_row, p_col)
-                o = o.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)
-                return o.reshape(n, h * ks, w * ks, c)
-
-            if (self.stride == ks
-                    and n * h * w * ks * ks >= _AFFINE_BANDED_MIN_PIXELS):
-                fast, ok = affine_banded_gather(xp, dense(p_row),
-                                                dense(p_col))
-                return jax.lax.cond(ok, lambda: fast, taps_path)
-            return taps_path()
+            o = affine_bilinear_gather(xp, p_row, p_col)
+            o = o.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)
+            return o.reshape(n, h * ks, w * ks, c)
 
         # (N, h, w, ks, ks, C) -> (N, h*ks, w*ks, C)  (alignment.py:172-178)
         out = out.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)

@@ -323,12 +323,16 @@ class RefVSRNet(nn.Module):
         (RefVSR.py:254); False warps the UP tensor itself (RefVSR.py:220,259)."""
         feat_prop, feat_prop_up, conf_prop = carry
         flow2 = _flow_up2(x["flow"])
-        up_src = feat_prop if warp_up_from_low else feat_prop_up
         # conf_prop rides the feature warp (same flow/grid): a standalone
         # 1-channel warp is ~10x the cost of the 48-channel one on TPU
         mid = feat_prop.shape[-1]
         packed = warp(jnp.concatenate([feat_prop, conf_prop], -1), x["flow"])
         feat_prop, conf_prop = packed[..., :mid], packed[..., mid:]
+        # quirk detail (caught by tests/test_full_net_parity.py): the
+        # reference reassigns feat_prop at RefVSR.py:252 BEFORE line 254 reads
+        # it, so the low-res UP source is the already-warped feat_prop — a
+        # double warp, not the pre-warp carry
+        up_src = feat_prop if warp_up_from_low else feat_prop_up
         feat_prop_up = warp(up_src, flow2)
 
         resblocks = (self.backward_resblocks if branch == "backward"

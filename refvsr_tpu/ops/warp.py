@@ -180,14 +180,87 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
         return lax.map(one, (x, sx, sy))
     if (padding == "zeros"
             and x.shape[0] * sx.shape[1] * sx.shape[2] >= _BANDED_MIN_PIXELS):
-        from refvsr_tpu.ops.warp_banded import banded_sample
-        fast, ok = banded_sample(x, sy, sx, padding=padding)
+        from refvsr_tpu.ops.warp_banded import banded_ok, banded_sample
+        # plan/exec split: banded validity depends only on coordinates, so
+        # compute it in a cheap pre-pass and run the heavy band gather
+        # INSIDE the cond branch — peak HBM is max(banded, fallback) instead
+        # of banded-output + branch max, and a fallback-bound call skips the
+        # wasted gather (r4; the pre-split layout OOMed the 1080p-HD stream
+        # step at 16.02/15.75 GB, memcheck_stream).
+        ok = banded_ok(x.shape, sy, sx, padding=padding)
         # exactness guard: banded only covers tiles whose flow range fits
-        # its static select window; anything else falls back whole-call
+        # its static select window; anything else falls back whole-call.
+        # The fallback is the CANVAS-FREE sampler: XLA buffer assignment
+        # reserves max-over-branches, so a quad/pair-canvas fallback would
+        # keep its multi-GB canvas in the graph's peak even when never
+        # taken. Lean is ~3x slower per call but only runs on violent flows.
         return lax.cond(
-            ok, lambda: fast,
-            lambda: _bilinear_sample_quad(x, sx, sy, padding))
+            ok, lambda: banded_sample(x, sy, sx, padding=padding)[0],
+            lambda: _bilinear_sample_lean(x, sx, sy, padding))
     return _bilinear_sample_quad(x, sx, sy, padding)
+
+
+def _bilinear_sample_lean(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
+                          padding: str) -> jnp.ndarray:
+    """Canvas-free exact sampler: four separate row gathers per chunk with
+    per-corner zeros masking (grid_sample semantics). ~4x the gathered rows
+    of the quad path but ZERO resident canvas — the cond-fallback memory
+    profile. Chunked like the quad path to bound corner temps."""
+    n, h, w, c = x.shape
+    ho, wo = sx.shape[1], sx.shape[2]
+    sx = sx.astype(jnp.float32)
+    sy = sy.astype(jnp.float32)
+    if padding == "border":
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+        sy = jnp.clip(sy, 0.0, h - 1.0)
+    flat = x.reshape(n, h * w, c)
+    dt = x.dtype
+
+    def sample_chunk(cx, cy):
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        tx = cx - x0
+        ty = cy - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def corner(yi, xi):
+            idx = (jnp.clip(yi, 0, h - 1) * w
+                   + jnp.clip(xi, 0, w - 1)).reshape(n, -1, 1)
+            v = jnp.take_along_axis(flat, idx, axis=1).reshape(
+                yi.shape + (c,))
+            if padding == "zeros":
+                inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+                v = jnp.where(inside[..., None], v, jnp.zeros((), dt))
+            return v
+
+        return (corner(y0i, x0i) * ((1 - ty) * (1 - tx))[..., None].astype(dt)
+                + corner(y0i, x0i + 1) * ((1 - ty) * tx)[..., None].astype(dt)
+                + corner(y0i + 1, x0i) * (ty * (1 - tx))[..., None].astype(dt)
+                + corner(y0i + 1, x0i + 1) * (ty * tx)[..., None].astype(dt))
+
+    if n * ho * wo <= _WARP_CHUNK_PIXELS:
+        return sample_chunk(sx, sy)
+
+    rows_per = max(1, _WARP_CHUNK_PIXELS // (n * wo))
+    num_chunks = -(-ho // rows_per)
+    pad_rows = num_chunks * rows_per - ho
+    if pad_rows:
+        sx = jnp.pad(sx, [(0, 0), (0, pad_rows), (0, 0)])
+        sy = jnp.pad(sy, [(0, 0), (0, pad_rows), (0, 0)])
+    sx_t = sx.reshape(n, num_chunks, rows_per, wo).transpose(1, 0, 2, 3)
+    sy_t = sy.reshape(n, num_chunks, rows_per, wo).transpose(1, 0, 2, 3)
+
+    def step(_, coords):
+        cx, cy = coords
+        # fully-flattened 1-D chunks: see _bilinear_sample_quad's scan note
+        return None, sample_chunk(cx, cy).reshape(n * rows_per * wo * c)
+
+    _, outs = lax.scan(step, None, (sx_t, sy_t))
+    outs = outs.reshape(num_chunks, n, rows_per, wo, c)
+    outs = outs.transpose(1, 0, 2, 3, 4).reshape(n, num_chunks * rows_per,
+                                                 wo, c)
+    return outs[:, :ho]
 
 
 def _bilinear_sample_quad(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,

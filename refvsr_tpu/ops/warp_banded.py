@@ -51,6 +51,53 @@ import jax.numpy as jnp
 _BAND_CHUNK_BYTES = 256 << 20
 
 
+def _geom(h, w, th, two, xb, ysel, xsel_extra):
+    """Static band geometry for an (h, w) source as _banded_core sees it
+    (i.e. AFTER banded_sample's ring padding). Shared by the exec path and
+    the coordinate-only plan (banded_ok) so the two can never drift."""
+    xsel = xb + xsel_extra
+    yb = th + ysel
+    nb = -(-(two + xb + xsel - 2) // xb)
+    top, left = th + 1, two + 1
+    wp_al = -(-(left + w + 1 + two + xb + xsel) // xb) * xb
+    hp = top + h + 1 + yb
+    nxb = wp_al // xb
+    return xsel, yb, nb, top, left, wp_al, hp, nxb
+
+
+def _tiles_of(a, b, nty, ntx, th, two, pad_o):
+    """(B, Ho, Wo) -> (B*nty*ntx, th, two) tile-major layout (pads output
+    to tile multiples; tiles never straddle batch items)."""
+    a = jnp.pad(a, pad_o)
+    return (a.reshape(b, nty, th, ntx, two).transpose(0, 1, 3, 2, 4)
+            .reshape(b * nty * ntx, th, two))
+
+
+def _anchors(live_t, y0r_t, x0c_t, rows_total, nxb, th, two, xb, ysel, xsel,
+             yb, nb):
+    """Per-tile diagonal anchors + select-window offsets. Returns
+    (ky, kxb, dy, dx, ok_sel); ok_sel depends ONLY on coordinates, which is
+    what makes the plan/exec split exact."""
+    nt = live_t.shape[0]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (nt, th, two), 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (nt, th, two), 2)
+
+    # diagonal anchors: dead points excluded (a big sentinel keeps them
+    # out of the min without branching)
+    big = jnp.int32(1 << 28)
+    ky = jnp.min(jnp.where(live_t, y0r_t - rr, big), axis=(1, 2))
+    kxd = jnp.min(jnp.where(live_t, x0c_t - cc, big), axis=(1, 2))
+    all_dead = ky == big
+    ky = jnp.where(all_dead, 0, jnp.clip(ky, 0, rows_total - yb))
+    kxb = jnp.where(all_dead, 0,
+                    jnp.clip(kxd // xb, 0, nxb - nb)).astype(jnp.int32)
+
+    dy = y0r_t - ky[:, None, None] - rr          # in [0, ysel-2] if valid
+    dx = x0c_t - (kxb * xb)[:, None, None] - cc  # in [0, xsel-2] if valid
+    ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0) & (dx <= xsel - 2))
+    return ky, kxb, dy, dx, ok_sel
+
+
 def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
                  debug_stats=False):
     """Shared banded gather machinery.
@@ -72,19 +119,13 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
     b, h, w, c = xs.shape
     ho, wo = y0i.shape[1], y0i.shape[2]
 
-    xsel = xb + xsel_extra
-    yb = th + ysel
-    nb = -(-(two + xb + xsel - 2) // xb)
-
     # Generous zero padding makes every anchor a real row/col; with the
-    # diagonal anchors below, band coverage is then guaranteed by
-    # construction and only ok_sel (select-window span) can fail.
-    top, left = th + 1, two + 1
-    wp_al = -(-(left + w + 1 + two + xb + xsel) // xb) * xb
-    hp = top + h + 1 + yb
+    # diagonal anchors, band coverage is then guaranteed by construction and
+    # only ok_sel (select-window span) can fail.
+    xsel, yb, nb, top, left, wp_al, hp, nxb = _geom(h, w, th, two, xb, ysel,
+                                                    xsel_extra)
     xp = jnp.pad(xs, [(0, 0), (top, hp - top - h),
                       (left, wp_al - left - w), (0, 0)])
-    nxb = wp_al // xb
     flat = xp.reshape(b * hp * nxb, xb * c)
     # row anchors in GLOBAL flat-table coords (+ b*hp per item)
     y0r = y0i + top + (jnp.arange(b, dtype=jnp.int32) * hp)[:, None, None]
@@ -98,9 +139,7 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
     ntiles = b * nty * ntx
 
     def tiles_of(a):
-        a = jnp.pad(a, pad_o)
-        return (a.reshape(b, nty, th, ntx, two).transpose(0, 1, 3, 2, 4)
-                .reshape(ntiles, th, two))
+        return _tiles_of(a, b, nty, ntx, th, two, pad_o)
 
     live_t = tiles_of(live.astype(jnp.float32)) > 0    # pads to dead
     y0r_t = tiles_of(y0r)
@@ -112,22 +151,9 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
         """Band-gather + select-window for a batch of tiles. Returns
         (out (nt, th, two, c), ok_sel (nt, th, two) bool, dy, dx)."""
         nt = live_t.shape[0]
-        rr = jax.lax.broadcasted_iota(jnp.int32, (nt, th, two), 1)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (nt, th, two), 2)
-
-        # diagonal anchors: dead points excluded (a big sentinel keeps them
-        # out of the min without branching)
-        big = jnp.int32(1 << 28)
-        ky = jnp.min(jnp.where(live_t, y0r_t - rr, big), axis=(1, 2))
-        kxd = jnp.min(jnp.where(live_t, x0c_t - cc, big), axis=(1, 2))
-        all_dead = ky == big
-        ky = jnp.where(all_dead, 0, jnp.clip(ky, 0, b * hp - yb))
-        kxb = jnp.where(all_dead, 0,
-                        jnp.clip(kxd // xb, 0, nxb - nb)).astype(jnp.int32)
-
-        dy = y0r_t - ky[:, None, None] - rr        # in [0, ysel-2] if valid
-        dx = x0c_t - (kxb * xb)[:, None, None] - cc  # in [0, xsel-2] if valid
-        ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0) & (dx <= xsel - 2))
+        ky, kxb, dy, dx, ok_sel = _anchors(live_t, y0r_t, x0c_t, b * hp,
+                                           nxb, th, two, xb, ysel, xsel, yb,
+                                           nb)
 
         # ---- band gather: (nt, yb, nb) row ids -> (nt, yb, nb*xb, c)
         jj = jnp.arange(yb, dtype=jnp.int32)
@@ -218,13 +244,11 @@ def _banded_core(xs, y0i, x0i, weights, live, th, two, xb, ysel, xsel_extra,
     return out, ok
 
 
-def banded_sample(x, sy, sx, padding="zeros", th=16, two=128, xb=8,
-                  ysel=4, xsel_extra=4, debug_stats=False):
-    """Bilinear sample of x (N, H, W, C) at f32 source coords sy/sx
-    (N, Ho, Wo), matching ops/warp._bilinear_sample semantics. Returns
-    (out, ok): out is exact when ok is True; callers must fall back when it
-    is False (ok is a single scalar over the whole batch)."""
-    n, h, w, c = x.shape
+def _coord_prep(sy, sx, h, w, padding):
+    """grid_sample-parity coordinate prep shared by banded_sample and the
+    banded_ok plan: returns (y0i, x0i, ty, tx, live) with integer anchors in
+    RING coords (source ring-padded by 1 so one-step-outside corners read
+    exact zeros in zeros mode)."""
     sy = sy.astype(jnp.float32)
     sx = sx.astype(jnp.float32)
     if padding == "border":
@@ -235,17 +259,60 @@ def banded_sample(x, sy, sx, padding="zeros", th=16, two=128, xb=8,
     x0 = jnp.floor(sx)
     ty = sy - y0
     tx = sx - x0
-    # integer anchors in ring coords: pass a ring-padded source so that
-    # one-step-outside corners read exact zeros (grid_sample zeros mode)
     y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1) + 1
     x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1) + 1
-    xs = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
 
     if padding == "zeros":
         live = ((y0 >= -1.0) & (y0 <= h - 1.0)
                 & (x0 >= -1.0) & (x0 <= w - 1.0))
     else:
         live = jnp.ones(y0.shape, jnp.bool_)
+    return y0i, x0i, ty, tx, live
+
+
+def banded_ok(x_shape, sy, sx, padding="zeros", th=16, two=128, xb=8,
+              ysel=4, xsel_extra=4):
+    """Coordinate-only validity PLAN: returns exactly the `ok` scalar
+    banded_sample would, without touching source data. Callers use it to put
+    the band gather INSIDE a lax.cond branch (plan/exec split): peak HBM
+    becomes max(banded, fallback) instead of banded-output + branch max, and
+    a fallback-bound call skips the wasted gather entirely. Exactness: the
+    plan shares _coord_prep/_geom/_anchors with the exec path, and ok_sel
+    depends only on coordinates."""
+    b, h, w, _ = x_shape
+    y0i, x0i, _, _, live = _coord_prep(sy, sx, h, w, padding)
+    hr, wr = h + 2, w + 2   # _banded_core sees the ring-padded source
+    xsel, yb, nb, top, left, _, hp, nxb = _geom(hr, wr, th, two, xb, ysel,
+                                                xsel_extra)
+    ho, wo = y0i.shape[1], y0i.shape[2]
+    ho_p = -(-ho // th) * th
+    wo_p = -(-wo // two) * two
+    pad_o = [(0, 0), (0, ho_p - ho), (0, wo_p - wo)]
+    nty, ntx = ho_p // th, wo_p // two
+
+    y0r = y0i + top + (jnp.arange(b, dtype=jnp.int32) * hp)[:, None, None]
+    x0c = x0i + left
+    live_t = _tiles_of(live.astype(jnp.float32), b, nty, ntx, th, two,
+                       pad_o) > 0
+    y0r_t = _tiles_of(y0r, b, nty, ntx, th, two, pad_o)
+    x0c_t = _tiles_of(x0c, b, nty, ntx, th, two, pad_o)
+    *_, ok_sel = _anchors(live_t, y0r_t, x0c_t, b * hp, nxb, th, two, xb,
+                          ysel, xsel, yb, nb)
+    return jnp.all(ok_sel | ~live_t)
+
+
+def banded_sample(x, sy, sx, padding="zeros", th=16, two=128, xb=8,
+                  ysel=4, xsel_extra=4, debug_stats=False):
+    """Bilinear sample of x (N, H, W, C) at f32 source coords sy/sx
+    (N, Ho, Wo), matching ops/warp._bilinear_sample semantics. Returns
+    (out, ok): out is exact when ok is True; callers must fall back when it
+    is False (ok is a single scalar over the whole batch). For the
+    cond-friendly split, check banded_ok first and call this only in the
+    ok branch."""
+    n, h, w, c = x.shape
+    y0i, x0i, ty, tx, live = _coord_prep(sy, sx, h, w, padding)
+    xs = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+
     lm = live.astype(jnp.float32)
     weights = ((1.0 - ty) * (1.0 - tx) * lm, (1.0 - ty) * tx * lm,
                ty * (1.0 - tx) * lm, ty * tx * lm)

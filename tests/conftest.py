@@ -42,7 +42,8 @@ _SLOW_MODULES = {
     "test_train_e2e", "test_refvsr_net", "test_refvsr_ir", "test_parallel",
     "test_spynet_parity", "test_matching_parity", "test_loader",
     "test_cli_train", "test_pretrained_assets", "test_round3_features",
-    "test_pipeline_stream",
+    "test_pipeline_stream", "test_full_net_parity",
+    "test_spatial_8k_lowering",
 }
 
 

@@ -133,87 +133,3 @@ def test_affine_coords_stay_f32_under_bf16(rng):
     # pre-fix this diverged by O(feature std) at rows > 1024
     err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-6)
     assert err < 0.15, f"bf16 affine output diverged (rel err {err:.3f})"
-
-
-def _affine_coords(rng, n, h, w, ks, stride, s_lo=0.9, s_hi=1.1,
-                   th_mag=0.08):
-    """p_row/p_col exactly as AlignedConv2d.__call__ builds them, from
-    plausible affine params (s near 1, small rotation)."""
-    half = (ks - 1) // 2
-    taps_1d = np.arange(-half - 0.5, half + 0.6, 1.0)
-    pn_row, pn_col = np.meshgrid(taps_1d, taps_1d, indexing="ij")
-    pn_row = pn_row.reshape(-1).astype(np.float32)
-    pn_col = pn_col.reshape(-1).astype(np.float32)
-    p0_row = (1.0 + np.arange(h) * stride).astype(np.float32)[None, :, None,
-                                                              None]
-    p0_col = (1.0 + np.arange(w) * stride).astype(np.float32)[None, None, :,
-                                                              None]
-    s_row = rng.uniform(s_lo, s_hi, (n, h, w, 1)).astype(np.float32)
-    s_col = rng.uniform(s_lo, s_hi, (n, h, w, 1)).astype(np.float32)
-    theta = rng.uniform(-th_mag, th_mag, (n, h, w, 1)).astype(np.float32)
-    rx = pn_row[None, None, None] * s_row
-    ry = pn_col[None, None, None] * s_col
-    rot_row = rx * np.cos(theta) - ry * np.sin(theta)
-    rot_col = rx * np.sin(theta) + ry * np.cos(theta)
-    center = half + 0.5
-    return rot_row + center + p0_row, rot_col + center + p0_col
-
-
-def _dense(a, n, h, w, ks):
-    return (a.reshape(n, h, w, ks, ks).transpose(0, 1, 3, 2, 4)
-            .reshape(n, h * ks, w * ks))
-
-
-def test_affine_banded_matches_taps_path(rng):
-    """Banded dense-grid affine gather == the per-tap path, for both the
-    test-scale (ks=2) and flagship HD-in (ks=8) geometries, incl. boundary
-    grid points whose taps clamp at canvas edges."""
-    from refvsr_tpu.models.matching import (affine_banded_gather,
-                                            affine_bilinear_gather)
-    for ks, h, w in ((2, 24, 20), (8, 17, 9)):
-        n, c = 1, 5
-        hp, wp = h * ks + 2, w * ks + 2   # pad=1 canvas
-        xp = jnp.asarray(rng.standard_normal((n, hp, wp, c)),
-                         jnp.float32)
-        p_row, p_col = _affine_coords(rng, n, h, w, ks, ks)
-        fast, ok = affine_banded_gather(xp, jnp.asarray(_dense(p_row, n, h,
-                                                               w, ks)),
-                                        jnp.asarray(_dense(p_col, n, h, w,
-                                                           ks)))
-        assert bool(ok), f"banded invalidated on plausible affine (ks={ks})"
-        want = affine_bilinear_gather(xp, jnp.asarray(p_row),
-                                      jnp.asarray(p_col))
-        want = np.asarray(want).reshape(n, h, w, ks, ks, c).transpose(
-            0, 1, 3, 2, 4, 5).reshape(n, h * ks, w * ks, c)
-        np.testing.assert_allclose(np.asarray(fast), want, atol=3e-5)
-
-
-def test_affine_banded_invalidates_on_violent_affine(rng):
-    from refvsr_tpu.models.matching import affine_banded_gather
-    n, h, w, ks, c = 1, 16, 16, 8, 3
-    hp, wp = h * ks + 2, w * ks + 2
-    xp = jnp.asarray(rng.standard_normal((n, hp, wp, c)), jnp.float32)
-    p_row, p_col = _affine_coords(rng, n, h, w, ks, ks, s_lo=2.5, s_hi=3.0,
-                                  th_mag=1.0)
-    _, ok = affine_banded_gather(xp, jnp.asarray(_dense(p_row, n, h, w, ks)),
-                                 jnp.asarray(_dense(p_col, n, h, w, ks)))
-    assert not bool(ok)
-
-
-def test_aligned_conv2d_banded_gate(rng, monkeypatch):
-    """AlignedConv2d end-to-end: banded gate on == off (the cond picks the
-    banded result for the random-init near-identity affine)."""
-    import jax
-    import refvsr_tpu.models.matching as M
-    from refvsr_tpu.models.matching import AlignedConv2d
-
-    net = AlignedConv2d(kernel_size=2, stride=2)
-    x = jnp.asarray(rng.standard_normal((1, 48, 40, 6)), jnp.float32)
-    q = jnp.asarray(rng.standard_normal((1, 24, 20, 3)), jnp.float32)
-    r = jnp.asarray(rng.standard_normal((1, 48, 40, 3)), jnp.float32)
-    params = net.init(jax.random.PRNGKey(0), x, q, r)
-    monkeypatch.setattr(M, "_AFFINE_BANDED_MIN_PIXELS", 1 << 40)
-    want = net.apply(params, x, q, r)
-    monkeypatch.setattr(M, "_AFFINE_BANDED_MIN_PIXELS", 0)
-    got = net.apply(params, x, q, r)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)

@@ -164,3 +164,77 @@ def test_banded_nonfinite_flow_matches_quad():
     assert bool(ok)
     assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_lean_sampler_matches_quad(rng, padding):
+    """_bilinear_sample_lean (the canvas-free cond fallback, r4) must equal
+    the quad-canvas path exactly — incl. far-OOB anchors, the one-step ring
+    zone, and the 2x output grid."""
+    from refvsr_tpu.ops.warp import (_bilinear_sample_lean,
+                                     _bilinear_sample_quad)
+    h, w, c = 37, 53, 5
+    x = jnp.asarray(rng.standard_normal((2, h, w, c)), jnp.float32)
+    sx = jnp.asarray(rng.uniform(-6, w + 6, (2, 2 * h, 2 * w)), jnp.float32)
+    sy = jnp.asarray(rng.uniform(-6, h + 6, (2, 2 * h, 2 * w)), jnp.float32)
+    want = _bilinear_sample_quad(x, sx, sy, padding)
+    got = _bilinear_sample_lean(x, sx, sy, padding)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-6)
+
+
+def test_lean_sampler_chunked_matches(rng, monkeypatch):
+    from refvsr_tpu.ops.warp import (_bilinear_sample_lean,
+                                     _bilinear_sample_quad)
+    monkeypatch.setattr(warp_mod, "_WARP_CHUNK_PIXELS", 512)
+    h, w, c = 24, 40, 3
+    x = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+    sx = jnp.asarray(rng.uniform(-3, w + 3, (1, h, w)), jnp.float32)
+    sy = jnp.asarray(rng.uniform(-3, h + 3, (1, h, w)), jnp.float32)
+    want = _bilinear_sample_quad(x, sx, sy, "zeros")
+    got = _bilinear_sample_lean(x, sx, sy, "zeros")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_banded_ok_plan_matches_exec(rng, padding):
+    """banded_ok (the coordinate-only plan, r4) must return EXACTLY the ok
+    scalar banded_sample computes — over smooth, violent, OOB-heavy, and
+    non-finite flows — or the plan/exec cond split silently mis-samples."""
+    from refvsr_tpu.ops.warp import warp_coords
+    from refvsr_tpu.ops.warp_banded import banded_ok
+
+    h, w, c = 40, 56, 8
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (2, h, w, c), jnp.float32)
+    cases = [
+        _smooth_flow(jax.random.PRNGKey(1), h, w, 4.0),
+        _smooth_flow(jax.random.PRNGKey(2), h, w, 60.0),
+        jax.random.uniform(jax.random.PRNGKey(3), (1, h, w, 2),
+                           minval=-25.0, maxval=25.0),   # violent
+        jnp.full((1, h, w, 2), 1e4, jnp.float32),        # all OOB
+        jnp.zeros((1, h, w, 2)).at[0, 5, 5, 0].set(jnp.nan),
+    ]
+    for flow in cases:
+        flow2 = jnp.concatenate([flow, flow * 0.5], axis=0)
+        sx, sy = warp_coords((h, w), flow2)
+        _, ok_exec = banded_sample(x, sy, sx, padding=padding)
+        ok_plan = banded_ok(x.shape, sy, sx, padding=padding)
+        assert bool(ok_plan) == bool(ok_exec)
+
+
+def test_warp_dispatch_plan_exec_parity(rng, monkeypatch):
+    """warp() through the plan/exec cond split == quad, for a smooth flow
+    (banded branch) and a violent flow (lean fallback branch)."""
+    monkeypatch.setattr(warp_mod, "_BANDED_MIN_PIXELS", 0)
+    h, w, c = 40, 56, 8
+    x = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+    for mag, name in ((4.0, "smooth"), (200.0, "violent")):
+        flow = jnp.asarray(
+            rng.uniform(-mag, mag, (1, h, w, 2)), jnp.float32)
+        got = warp(x, flow)
+        monkeypatch.setattr(warp_mod, "_BANDED_MIN_PIXELS", 1 << 40)
+        want = warp(x, flow)
+        monkeypatch.setattr(warp_mod, "_BANDED_MIN_PIXELS", 0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, err_msg=name)
