@@ -146,8 +146,21 @@ class Conv2d(nn.Module):
             if bias is not None:
                 bias = jnp.tile(bias, self.packed)
         if self.stride > 1:
-            from refvsr_tpu.ops.conv import blocked_strided_conv
-            return blocked_strided_conv(x, kernel, bias, self.stride, p)
+            # blocked_strided_conv's space-to-depth reshape (H -> H/s x s)
+            # defeats GSPMD under spatial H-sharding (500 MB all-gathers at
+            # the 8K geometry, scripts/debug_8k_allgather.py r4); the native
+            # strided conv shards cleanly, and at 1/s per-shard rows its
+            # lowering inefficiency is off the critical path
+            from refvsr_tpu.parallel.spatial import active as _spatial_active
+            if _spatial_active() is None:
+                from refvsr_tpu.ops.conv import blocked_strided_conv
+                return blocked_strided_conv(x, kernel, bias, self.stride, p)
+            out = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=x.dtype)
+            return out if bias is None else out + bias.astype(x.dtype)
         if self.formulation == "im2col_w":
             assert self.packed == 1 and p == self.kernel_size // 2
             from refvsr_tpu.ops.conv import wide_im2col_conv

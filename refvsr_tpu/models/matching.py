@@ -299,13 +299,24 @@ class AlignedConv2d(nn.Module):
                               name="conv1_0")
         self.conv1_res = ResBlock(32, name="conv1_res")
         # head2: conv5x5(64->32, stride), lrelu, ResBlock, lrelu, conv1x1(32->3)
+        # in_features=64 (r+q concat) enables the params-only declare the
+        # shard-local strided conv uses under spatial sharding
         self.p_conv_0 = Conv2d(32, kernel_size=5, stride=self.stride,
-                               name="p_conv_0")
+                               in_features=64, name="p_conv_0")
         self.p_conv_res = ResBlock(32, name="p_conv_res")
         self.p_conv_out = Conv2d(3, kernel_size=1, name="p_conv_out")
 
     def _head(self, img):
-        if img.shape[0] * img.shape[1] * img.shape[2] >= _HEAD_TILE_PIXELS:
+        # under spatial sharding the tiled path is both unnecessary (per-shard
+        # rows are 1/s of the canvas, so the big-buffer motivation vanishes)
+        # and harmful: its stack-of-dynamic-slices layout defeats GSPMD
+        # propagation — ~1 GB f32 all-gathers at the 8K geometry
+        # (scripts/debug_8k_allgather.py, r4). GSPMD handles the direct convs
+        # with collective-permute halo exchanges.
+        from refvsr_tpu.parallel.spatial import active as _spatial_active
+        if (_spatial_active() is None and
+                img.shape[0] * img.shape[1] * img.shape[2]
+                >= _HEAD_TILE_PIXELS):
             tiled = self._head_tiled(img)
             if tiled is not None:
                 return tiled
@@ -379,7 +390,22 @@ class AlignedConv2d(nn.Module):
         r = self._head(ref)
 
         a = jnp.concatenate([r, q], axis=-1)
-        a = lrelu(self.p_conv_0(a), 0.2)
+        # under spatial sharding the stride-s conv runs shard-local: its
+        # stride can exceed its kernel (aa2: stride 8 > k 5), which GSPMD's
+        # windowed-op partitioner refuses — it all-gathered the 1 GB
+        # canvas-sized input at 8K geometry. The output is affine-grid-sized
+        # (small), so it comes back replicated and the grid math below stays
+        # global.
+        from refvsr_tpu.parallel.spatial import (
+            active as _spatial_active, maybe_sharded_strided_conv_small)
+        pc = None
+        if self.stride > 1 and _spatial_active() is not None:
+            kb, bb = self.p_conv_0(None)
+            pc = maybe_sharded_strided_conv_small(a, kb, bb, self.stride,
+                                                  pad=2)
+        if pc is None:
+            pc = self.p_conv_0(a)
+        a = lrelu(pc, 0.2)
         a = lrelu(self.p_conv_res(a), 0.2)
         affine = self.p_conv_out(a) + 1.0          # (N, h, w, 3)
         affine = jnp.clip(affine, -3.0, 3.0)
@@ -422,20 +448,19 @@ class AlignedConv2d(nn.Module):
         # static tap-displacement bound: |rot| <= sqrt(2)*(ks/2+0.5)*3
         # (affine clipped to [-3,3]) plus the sub-block anchor span
         min_halo = int(np.ceil(1.4143 * (ks / 2 + 0.5) * 3.0)) + self.stride
-        from refvsr_tpu.parallel.spatial import maybe_sharded_affine_gather
-        out = maybe_sharded_affine_gather(x, pad, p_row, p_col,
-                                          min_halo=min_halo)
-        c = x.shape[-1]
-        if out is None:
-            xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
-                         mode="reflect")
-            o = affine_bilinear_gather(xp, p_row, p_col)
-            o = o.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)
-            return o.reshape(n, h * ks, w * ks, c)
+        from refvsr_tpu.parallel.spatial import maybe_sharded_affine_fold
+        folded = maybe_sharded_affine_fold(x, pad, p_row, p_col, ks,
+                                           min_halo=min_halo)
+        if folded is not None:
+            return folded
 
+        c = x.shape[-1]
+        xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+                     mode="reflect")
+        o = affine_bilinear_gather(xp, p_row, p_col)
         # (N, h, w, ks, ks, C) -> (N, h*ks, w*ks, C)  (alignment.py:172-178)
-        out = out.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)
-        return out.reshape(n, h * ks, w * ks, c)
+        o = o.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)
+        return o.reshape(n, h * ks, w * ks, c)
 
 
 class AlignedAttention(nn.Module):
@@ -460,16 +485,24 @@ class AlignedAttention(nn.Module):
         kernel = self.scale * self.k_vsize
         s = self.stride * self.scale
 
-        unfolded = extract_patches(value, kernel, s, padding="same")
-        warped = gather_patches(unfolded, index_map)
-        c = value.shape[-1]
-        warped_features = fold_non_overlapping(warped, (h * 2, w * 2), kernel, c)
+        from refvsr_tpu.parallel.spatial import maybe_sharded_patch_warp
 
+        def patch_warp(v):
+            # under an active spatial ctx the frame-sized patch table stays
+            # sharded and rotates around the ring (parallel/spatial.py)
+            # instead of GSPMD replicating it to serve the global index map
+            out = maybe_sharded_patch_warp(v, index_map, kernel, s,
+                                           (h * 2, w * 2))
+            if out is not None:
+                return out
+            unfolded = extract_patches(v, kernel, s, padding="same")
+            warped = gather_patches(unfolded, index_map)
+            return fold_non_overlapping(warped, (h * 2, w * 2), kernel,
+                                        v.shape[-1])
+
+        warped_features = patch_warp(value)
         if return_fm or not self.align:
             return warped_features
 
-        unfolded_ref = extract_patches(ref, kernel, s, padding="same")
-        warped_ref = gather_patches(unfolded_ref, index_map)
-        warped_ref = fold_non_overlapping(warped_ref, (h * 2, w * 2), kernel,
-                                          ref.shape[-1])
+        warped_ref = patch_warp(ref)
         return self.align_conv(warped_features, lr, warped_ref)

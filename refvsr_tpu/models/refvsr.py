@@ -425,7 +425,13 @@ class RefVSRNet(nn.Module):
                            jnp.concatenate([conf_bw, conf_fw], -1))
         out = out + alpha * self._seq2(self.feat_fusion_BWFW, cat_features)
         out = self.feat_decoder_BWFW(out)
-        if out.shape[1] * out.shape[2] >= self._TAIL_TILE_THRESHOLD:
+        # under spatial sharding the row-tiled tail is unnecessary (per-shard
+        # rows are 1/s) and its dynamic-slice/stack layout defeats GSPMD
+        # (canvas-sized all-gathers at 8K geometry, r4); the direct tail's
+        # convs + pixel shuffle shard cleanly
+        from refvsr_tpu.parallel.spatial import active as _spatial_active
+        if (_spatial_active() is None
+                and out.shape[1] * out.shape[2] >= self._TAIL_TILE_THRESHOLD):
             return self._tail_tiled(out) + base
         return self._tail(out) + base
 
