@@ -1,0 +1,287 @@
+"""Pallas TPU kernel: banded bilinear warp with VMEM-resident select.
+
+The XLA banded warp (ops/warp_banded.py) is HBM-bound on its select loop:
+every one of the ysel*xsel static select passes re-reads the band slice and
+read-modify-writes the whole accumulator through HBM (~5.8 ms/pass at the
+1080p-HD 2x UP-warp shape, chip session r4 — pass-count sweep in
+scripts/microbench_banded_warp.py; layout tricks were A/B'd to a null
+result because XLA normalizes layouts). This kernel keeps BOTH the band
+and the accumulator in VMEM across all passes, so each select pass is a
+pure VPU fma; HBM sees the band once (DMA in) and the output once.
+
+Two structural upgrades over the XLA formulation, enabled by Pallas:
+
+1. Per-tile band DMA with SCALAR-PREFETCHED anchors. The r3 Pallas kernel
+   (deleted) lost to XLA because the band DMA for tile t+1 could not issue
+   until t's coords were read — Mosaic won't double-buffer a
+   data-dependent gather. Here the per-tile anchors (ky, kx) are computed
+   in a cheap coordinate-only XLA pre-pass and passed as scalar-prefetch
+   arguments, so the kernel double-buffers the band DMA manually: tile
+   t+1's copy is in flight while tile t computes.
+
+2. PER-COLUMN x anchors. The XLA path gathers (xb*C)-wide row blocks, so
+   its x anchor is quantized to xb=8 columns and the select window must
+   absorb that slack: xsel = xb + 4 = 12 -> 48 passes. A DMA reads at
+   column granularity, so the anchor is exact and xsel collapses to the
+   real intra-tile flow spread budget -> 24 passes for a *larger*
+   guaranteed spread (4 px vs 3 px across a 128-point tile).
+
+Semantics match ops/warp._bilinear_sample (torch grid_sample parity,
+zeros padding; reference models/utils.py:35-43) bit-for-bit: same corner
+weights (f32, cast to the source dtype), same source-dtype accumulation,
+same pass order, same exact-zero masking of dead points.
+
+Exactness contract: callers check `pallas_banded_ok` (coordinate-only
+plan) and only invoke `pallas_banded_sample` in the ok branch of a
+lax.cond, exactly like the XLA plan/exec split. Gradients: custom VJP
+pulls back through the lean XLA sampler (identical math), so the op stays
+differentiable even though the forward is a kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from refvsr_tpu.ops.warp_banded import _coord_prep
+
+# default select window: dy in [0, YSEL-2], dx in [0, XSEL-2] -> guaranteed
+# intra-tile flow spread of 2 px over th=16 rows / 4 px over two=128 cols.
+_TH, _TWO, _YSEL, _XSEL = 16, 128, 4, 6
+
+# tests monkeypatch this to run the kernel in interpreter mode on CPU
+_FORCE_INTERPRET = False
+
+
+def _geom_cols(h, w, th, two, ysel, xsel):
+    """Static geometry, per-column anchoring. h/w are RING-padded source
+    dims (i.e. raw + 2, matching _coord_prep's anchor coords). Zero padding
+    is generous enough that every clamped anchor yields an in-bounds
+    (yb, wsel) band window; only the select-window span can fail."""
+    yb = th + ysel            # rows: slice [oy:oy+th], oy <= ysel-1, +1 spare
+    # cols: slice [ox:ox+two], ox <= xsel-1; rounded up to the sublane tile
+    # (8) — Mosaic requires HBM DMA slice shapes on tiled dims to be
+    # tile-aligned ("Slice shape along dimension 1 must be aligned to 8")
+    wsel = -(-(two + xsel - 1) // 8) * 8
+    top, left = th, two       # ky >= top - (th-1) >= 1; kx >= left-(two-1)
+    hp = top + h + yb
+    wp = left + w + wsel
+    return yb, wsel, top, left, hp, wp
+
+
+def _tile_anchors(y0i, x0i, live, b, h, w, th, two, ysel, xsel):
+    """Coordinate-only pre-pass shared by the plan and the exec wrapper.
+
+    y0i/x0i: (B, Ho, Wo) int32 ring-coord corner anchors from _coord_prep.
+    Returns (ky, kx, ok, geom, grids): ky/kx are flat (nt,) int32 per-tile
+    band anchors in padded-source coords (ky includes the item*hp row
+    offset), ok is the scalar validity verdict."""
+    yb, wsel, top, left, hp, wp = _geom_cols(h, w, th, two, ysel, xsel)
+    ho, wo = y0i.shape[1], y0i.shape[2]
+    ho_p = -(-ho // th) * th
+    wo_p = -(-wo // two) * two
+    nty, ntx = ho_p // th, wo_p // two
+
+    pad = [(0, 0), (0, ho_p - ho), (0, wo_p - wo)]
+    live_p = jnp.pad(live, pad)                       # pads to dead
+    y0r = jnp.pad(y0i, pad) + top + \
+        (jnp.arange(b, dtype=jnp.int32) * hp)[:, None, None]
+    x0c = jnp.pad(x0i, pad) + left
+
+    rr = (jnp.arange(ho_p, dtype=jnp.int32) % th)[None, :, None]
+    cc = (jnp.arange(wo_p, dtype=jnp.int32) % two)[None, None, :]
+    big = jnp.int32(1 << 28)
+    ay = jnp.where(live_p, y0r - rr, big)
+    ax = jnp.where(live_p, x0c - cc, big)
+
+    def tile_min(a):
+        return a.reshape(b, nty, th, ntx, two).min(axis=(2, 4))
+
+    ky3 = tile_min(ay)
+    kx3 = tile_min(ax)
+    dead3 = ky3 == big
+    ky3 = jnp.where(dead3, 0, jnp.clip(ky3, 0, b * hp - yb))
+    kx3 = jnp.where(dead3, 0, jnp.clip(kx3, 0, wp - wsel))
+
+    # select-window verdict (depends only on coordinates)
+    kyb = jnp.repeat(jnp.repeat(ky3, th, axis=1), two, axis=2)
+    kxb = jnp.repeat(jnp.repeat(kx3, th, axis=1), two, axis=2)
+    dy = y0r - kyb - rr
+    dx = x0c - kxb - cc
+    ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0) & (dx <= xsel - 2))
+    ok = jnp.all(ok_sel | ~live_p)
+
+    geom = (yb, wsel, top, left, hp, wp)
+    grids = (ho_p, wo_p, nty, ntx)
+    return ky3.reshape(-1), kx3.reshape(-1), ok, geom, grids
+
+
+def pallas_banded_ok(x_shape, sy, sx, padding="zeros", th=_TH, two=_TWO,
+                     ysel=_YSEL, xsel=_XSEL):
+    """Coordinate-only validity plan: True iff pallas_banded_sample's
+    static select window covers every live point. Mirrors
+    warp_banded.banded_ok's role in the plan/exec split."""
+    b, h, w, _ = x_shape
+    y0i, x0i, _, _, live = _coord_prep(sy, sx, h, w, padding)
+    _, _, ok, _, _ = _tile_anchors(y0i, x0i, live, b, h + 2, w + 2,
+                                   th, two, ysel, xsel)
+    return ok
+
+
+def _select_kernel(th, two, ysel, xsel, yb, wsel, nty, ntx, dt,
+                   ky_ref, kx_ref, src_ref, y0_ref, x0_ref, ty_ref, tx_ref,
+                   lv_ref, out_ref, band_ref, sem_ref):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    def band_dma(slot, tt):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(ky_ref[tt], yb), pl.ds(kx_ref[tt], wsel), :],
+            band_ref.at[slot],
+            sem_ref.at[slot])
+
+    # double-buffered band pipeline: t's DMA was started at t-1 (or here at
+    # t=0); start t+1's before computing so it overlaps this tile's passes
+    @pl.when(t == 0)
+    def _():
+        band_dma(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        band_dma((t + 1) % 2, t + 1).start()
+
+    slot = t % 2
+    band_dma(slot, t).wait()
+
+    y0 = y0_ref[0]
+    x0 = x0_ref[0]
+    tyf = ty_ref[0]
+    txf = tx_ref[0]
+    lv = lv_ref[0]
+
+    rr = lax.broadcasted_iota(jnp.int32, (th, two), 0)
+    cc = lax.broadcasted_iota(jnp.int32, (th, two), 1)
+    # clamped so dead points (zero weight) read *something* in-range,
+    # mirroring warp_banded's dy_c/dx_c
+    dy = jnp.clip(y0 - ky_ref[t] - rr, 0, ysel - 2)
+    dx = jnp.clip(x0 - kx_ref[t] - cc, 0, xsel - 2)
+
+    band = band_ref[slot]
+
+    # select passes: separable weights (exactly the XLA path's corner
+    # weights since lv is 0/1 — f32 multiply by 1.0 is exact), source-dtype
+    # accumulation in the same (oy, ox) ascending pass order
+    acc = jnp.zeros((th, two, band.shape[-1]), dt)
+    for oy in range(ysel):
+        ay = (jnp.where(dy == oy, 1.0 - tyf, 0.0)
+              + jnp.where(dy == oy - 1, tyf, 0.0)) * lv
+        for ox in range(xsel):
+            axw = (jnp.where(dx == ox, 1.0 - txf, 0.0)
+                   + jnp.where(dx == ox - 1, txf, 0.0))
+            # minor-dim insert happens in f32: Mosaic only supports a
+            # non-no-op minor-dim reshape for 32-bit types; the cast to the
+            # source dtype AFTER the insert keeps the XLA path's exact
+            # corner-weight numerics (f32 weight cast to dt, dt accumulate)
+            wgt = (ay * axw)[..., None].astype(dt)
+            sl = lax.slice(band, (oy, ox, 0),
+                           (oy + th, ox + two, band.shape[-1]))
+            acc = acc + wgt * sl
+
+    # dead points must be EXACT zeros (NaN coords give NaN fractions, and
+    # NaN * 0 = NaN) — same final mask as the XLA paths
+    acc = jnp.where(lv[..., None] > 0, acc, jnp.zeros((), dt))
+    out_ref[0] = acc
+
+
+def _lean_reference(x, sy, sx, padding):
+    """XLA sampler with identical semantics — the custom-VJP pullback."""
+    from refvsr_tpu.ops.warp import _bilinear_sample_lean
+    return _bilinear_sample_lean(x, sx, sy, padding)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def pallas_banded_sample(x, sy, sx, padding="zeros", th=_TH, two=_TWO,
+                         ysel=_YSEL, xsel=_XSEL):
+    """Bilinear sample of x (N, H, W, C) at f32 source coords sy/sx
+    (N, Ho, Wo), matching ops/warp._bilinear_sample semantics bit-for-bit.
+    EXACT only when pallas_banded_ok(...) is True — callers must gate on
+    the plan (lax.cond with a fallback), as with warp_banded."""
+    return _exec(x, sy, sx, padding, th, two, ysel, xsel)
+
+
+def _exec(x, sy, sx, padding, th, two, ysel, xsel):
+    b, h, w, c = x.shape
+    ho, wo = sy.shape[1], sy.shape[2]
+    y0i, x0i, ty, tx, live = _coord_prep(sy, sx, h, w, padding)
+    ky, kx, _, geom, grids = _tile_anchors(y0i, x0i, live, b, h + 2, w + 2,
+                                           th, two, ysel, xsel)
+    yb, wsel, top, left, hp, wp = geom
+    ho_p, wo_p, nty, ntx = grids
+    nt = b * nty * ntx
+
+    # one zero pad covers the grid_sample ring (+1) AND the band margins
+    xp = jnp.pad(x, [(0, 0), (top + 1, hp - top - 1 - h),
+                     (left + 1, wp - left - 1 - w), (0, 0)])
+    flat = xp.reshape(b * hp, wp, c)
+
+    pad = [(0, 0), (0, ho_p - ho), (0, wo_p - wo)]
+    y0r = jnp.pad(y0i, pad) + top + \
+        (jnp.arange(b, dtype=jnp.int32) * hp)[:, None, None]
+    x0c = jnp.pad(x0i, pad) + left
+    tyf = jnp.pad(ty.astype(jnp.float32), pad)
+    txf = jnp.pad(tx.astype(jnp.float32), pad)
+    lvf = jnp.pad(live.astype(jnp.float32), pad)
+
+    per_tile = nty * ntx
+
+    def tile_ix(t, *_):
+        return (t // per_tile, (t % per_tile) // ntx, t % ntx)
+
+    def tile_ix4(t, *_):
+        i, yi, xi = tile_ix(t)
+        return (i, yi, xi, 0)
+
+    coord_spec = pl.BlockSpec((1, th, two), tile_ix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # flat source (HBM)
+            coord_spec, coord_spec, coord_spec, coord_spec, coord_spec,
+        ],
+        out_specs=pl.BlockSpec((1, th, two, c), tile_ix4),
+        scratch_shapes=[
+            pltpu.VMEM((2, yb, wsel, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_select_kernel, th, two, ysel, xsel, yb,
+                               wsel, nty, ntx, x.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, ho_p, wo_p, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_FORCE_INTERPRET,
+    )(ky, kx, flat, y0r, x0c, tyf, txf, lvf)
+    return out[:, :ho, :wo]
+
+
+def _fwd(x, sy, sx, padding, th, two, ysel, xsel):
+    return _exec(x, sy, sx, padding, th, two, ysel, xsel), (x, sy, sx)
+
+
+def _bwd(padding, th, two, ysel, xsel, res, g):
+    x, sy, sx = res
+    _, pullback = jax.vjp(lambda xx, yy, xx2: _lean_reference(
+        xx, yy, xx2, padding), x, sy, sx)
+    return pullback(g)
+
+
+pallas_banded_sample.defvjp(_fwd, _bwd)

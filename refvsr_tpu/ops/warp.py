@@ -150,6 +150,18 @@ def _bilinear_sample_chunk(canvas, h, w, dt, sx, sy, padding):
     return out
 
 
+# Pallas VMEM-select warp kernel dispatch (ops/pallas/warp_select.py).
+# TPU-only: the kernel needs Mosaic (CPU tests exercise it via interpret
+# mode in tests/test_pallas_warp_select.py, but interpret is far too slow
+# for model-sized warps, so the CPU backend keeps the XLA banded path).
+_PALLAS_WARP = True
+
+
+def _use_pallas_warp():
+    import jax
+    return _PALLAS_WARP and jax.default_backend() == "tpu"
+
+
 # batched warps above this OUTPUT byte size process items one at a time
 # (lax.map): warp cost is row-count bound (~linear in batch), so splitting
 # loses nothing, while the whole-array formulations' temps (quad canvas in
@@ -187,16 +199,37 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
         # of banded-output + branch max, and a fallback-bound call skips the
         # wasted gather (r4; the pre-split layout OOMed the 1080p-HD stream
         # step at 16.02/15.75 GB, memcheck_stream).
-        ok = banded_ok(x.shape, sy, sx, padding=padding)
-        # exactness guard: banded only covers tiles whose flow range fits
-        # its static select window; anything else falls back whole-call.
-        # The fallback is the CANVAS-FREE sampler: XLA buffer assignment
-        # reserves max-over-branches, so a quad/pair-canvas fallback would
-        # keep its multi-GB canvas in the graph's peak even when never
-        # taken. Lean is ~3x slower per call but only runs on violent flows.
-        return lax.cond(
-            ok, lambda: banded_sample(x, sy, sx, padding=padding)[0],
-            lambda: _bilinear_sample_lean(x, sx, sy, padding))
+        #
+        # exactness guard: banded formulations only cover tiles whose flow
+        # range fits their static select window; anything else falls back
+        # whole-call. The last fallback is the CANVAS-FREE sampler: XLA
+        # buffer assignment reserves max-over-branches, so a quad/pair-canvas
+        # fallback would keep its multi-GB canvas in the graph's peak even
+        # when never taken. Lean is ~3x slower but only runs on violent flow.
+        def _lean():
+            return _bilinear_sample_lean(x, sx, sy, padding)
+
+        def _xla_banded():
+            okb = banded_ok(x.shape, sy, sx, padding=padding)
+            return lax.cond(
+                okb, lambda: banded_sample(x, sy, sx, padding=padding)[0],
+                _lean)
+
+        if _use_pallas_warp():
+            # Pallas VMEM-select kernel: band + accumulator live in VMEM, so
+            # HBM sees the band once and the output once (the XLA banded
+            # path re-reads band + accumulator through HBM on every select
+            # pass). Its per-column x anchors cover a 4 px/128-col spread;
+            # the XLA path's quantized anchors can absorb up to ~10 px minus
+            # slack, so neither window is a superset — chain the plans.
+            from refvsr_tpu.ops.pallas.warp_select import (
+                pallas_banded_ok, pallas_banded_sample)
+            okp = pallas_banded_ok(x.shape, sy, sx, padding=padding)
+            return lax.cond(
+                okp,
+                lambda: pallas_banded_sample(x, sy, sx, padding=padding),
+                _xla_banded)
+        return _xla_banded()
     return _bilinear_sample_quad(x, sx, sy, padding)
 
 
@@ -234,10 +267,18 @@ def _bilinear_sample_lean(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
                 v = jnp.where(inside[..., None], v, jnp.zeros((), dt))
             return v
 
-        return (corner(y0i, x0i) * ((1 - ty) * (1 - tx))[..., None].astype(dt)
-                + corner(y0i, x0i + 1) * ((1 - ty) * tx)[..., None].astype(dt)
-                + corner(y0i + 1, x0i) * (ty * (1 - tx))[..., None].astype(dt)
-                + corner(y0i + 1, x0i + 1) * (ty * tx)[..., None].astype(dt))
+        out = (corner(y0i, x0i) * ((1 - ty) * (1 - tx))[..., None].astype(dt)
+               + corner(y0i, x0i + 1) * ((1 - ty) * tx)[..., None].astype(dt)
+               + corner(y0i + 1, x0i) * (ty * (1 - tx))[..., None].astype(dt)
+               + corner(y0i + 1, x0i + 1) * (ty * tx)[..., None].astype(dt))
+        if padding == "zeros":
+            # non-finite coords give NaN *weights*, which the per-corner
+            # value masking can't catch (NaN * 0 = NaN) — mask the output
+            # like the quad/banded paths (torch grid_sample yields 0 there)
+            valid = ((y0 >= -1.0) & (y0 <= h - 1.0)
+                     & (x0 >= -1.0) & (x0 <= w - 1.0))
+            out = jnp.where(valid[..., None], out, jnp.zeros((), dt))
+        return out
 
     if n * ho * wo <= _WARP_CHUNK_PIXELS:
         return sample_chunk(sx, sy)
