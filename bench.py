@@ -176,6 +176,7 @@ def _run_one(h, w, lanes=0):
     out_pixels = out_shape[1] * out_shape[2]
     fps_8k_equiv = fps * out_pixels / target_out_pixels
     full_8k = out_pixels == target_out_pixels
+    from refvsr_tpu.ops.warp import _use_pallas_warp
     return {
         "metric": "stream_fps_8k" if full_8k else "stream_fps_8k_equiv",
         "value": round(fps if full_8k else fps_8k_equiv, 4),
@@ -183,7 +184,22 @@ def _run_one(h, w, lanes=0):
         "vs_baseline": round((fps if full_8k else fps_8k_equiv) / 30.0, 4),
         "raw_fps": round(fps, 4),
         "out_shape": list(out_shape),
+        # ADVICE r4: make the active warp path auditable — a backend-name
+        # mismatch must not silently bench the XLA path as "Pallas".
+        "pallas_warp": bool(_use_pallas_warp()),
+        "lanes": lanes,
     }
+
+
+_LAST_GOOD = "/root/repo/.bench_last_good.json"
+
+
+def _load_last_good():
+    try:
+        with open(_LAST_GOOD) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 def main():
@@ -199,81 +215,144 @@ def main():
         print(json.dumps({"train_steps_per_s": round(bench_train(), 4)}))
         return
 
-    # each size runs in a subprocess with a hard timeout: a wedged remote
-    # compile must not hang the whole benchmark (first compiles through the
-    # tunnel take ~10-25 min; the persistent cache makes reruns fast)
+    # ---- budgeted driver mode (VERDICT r4 #1) -----------------------------
+    # Two consecutive rounds produced NO driver-parsed number (r3: attach
+    # failure after long retries; r4: rc=124 — the 40-min train leg ran FIRST
+    # and ate the driver's wall-clock before any stream leg printed). The
+    # driver's own timeout is outside our control, so this process enforces a
+    # 35-min internal budget, runs the legs most likely to succeed (warm
+    # .jax_cache stream step) FIRST, and prints a best-so-far record after
+    # EVERY completed leg — whichever JSON line the driver parses (first or
+    # last) is a real measurement.
+    import os
+    import signal
     import subprocess
+    import tempfile
+
+    t0 = time.time()
+    BUDGET = 35 * 60.0
+
+    def remaining():
+        return BUDGET - (time.time() - t0)
+
+    def run_sub(argv, timeout):
+        """Run a subprocess with a HARD timeout that cannot hang.
+
+        subprocess.run(capture_output=True, timeout=...) deadlocks here: the
+        axon tunnel spawns helper grandchildren that inherit the stdout pipe,
+        so after the timeout-kill of the direct child the pipe still has
+        writers and the post-kill read blocks forever (observed: a 2x150s
+        preflight pinned a 10-min wrapper; r4's rc=124 looked the same).
+        Fix: output to a FILE (no pipe to drain) + start_new_session so the
+        timeout kills the whole process group. Returns (rc|None, text)."""
+        with tempfile.TemporaryFile(mode="w+") as f:
+            p = subprocess.Popen(argv, stdout=f, stderr=f, text=True,
+                                 start_new_session=True)
+            try:
+                rc = p.wait(timeout)
+            except subprocess.TimeoutExpired:
+                rc = None
+                try:
+                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                try:
+                    p.wait(15)
+                except subprocess.TimeoutExpired:
+                    pass  # unreapable child; the file still has its output
+            f.seek(0)
+            return rc, f.read()
 
     # preflight: a dead axon tunnel makes jax.devices() hang forever (seen
-    # as a multi-hour pool outage) — probe attach in short subprocesses so a
-    # down tunnel costs minutes, not 3x45min of size timeouts
+    # as a multi-hour pool outage). 2 tries max (r4 burned 20 min on 8).
     attach_ok = False
-    for _ in range(8):
-        try:
-            pr = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; jax.devices(); "
-                 "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"],
-                capture_output=True, text=True, timeout=150)
-            if "512" in pr.stdout:
-                attach_ok = True
-                break
-        except subprocess.TimeoutExpired:
-            pass
+    for _ in range(2):
+        _, out = run_sub(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"],
+            timeout=150)
+        if "512" in out:
+            attach_ok = True
+            break
         print("# bench preflight: TPU attach failed, retrying",
               file=sys.stderr)
     if not attach_ok:
-        print(json.dumps({"metric": "stream_fps_8k", "value": 0.0,
-                          "unit": "fps", "vs_baseline": 0.0,
-                          "error": "TPU attach failed (tunnel down)"}))
+        rec = {"metric": "stream_fps_8k", "value": 0.0, "unit": "fps",
+               "vs_baseline": 0.0, "error": "TPU attach failed (tunnel down)"}
+        last = _load_last_good()
+        if last:
+            rec["last_good"] = last
+        print(json.dumps(rec))
         return
 
-    # training throughput leg (optimizer steps/s, flagship MFID recipe):
-    # merged into the main JSON line as an extra field so the driver's
-    # one-line contract holds
-    train_sps, tr = None, None
-    try:
-        tr = subprocess.run([sys.executable, __file__, "--train"],
-                            capture_output=True, text=True, timeout=2400)
-        for line in tr.stdout.splitlines():
+    best = None
+
+    def emit(rec):
+        print(json.dumps(rec), flush=True)
+        try:
+            with open(_LAST_GOOD, "w") as f:
+                json.dump(rec, f)
+        except Exception:
+            pass
+
+    def run_leg(argv, timeout, log):
+        """Run a bench leg in a subprocess; return its parsed JSON or None."""
+        rc, out = run_sub([sys.executable, __file__] + argv, timeout)
+        for line in out.splitlines():
             line = line.strip()
             if line.startswith("{"):
-                train_sps = json.loads(line).get("train_steps_per_s")
-    except subprocess.TimeoutExpired:
-        pass
-    if train_sps is None:
-        with open("/root/repo/.bench_fail_train.log", "w") as f:
-            f.write(f"== stdout ==\n{tr.stdout if tr else ''}\n== stderr ==\n"
-                    f"{tr.stderr if tr else 'timeout'}\n")
-        print("# train bench failed (see .bench_fail_train.log)",
-              file=sys.stderr)
+                return json.loads(line)
+        # persist the FULL output so the real exception is never lost
+        # (round-2 postmortem: 200-char stderr tails destroyed the error)
+        with open(log, "w") as f:
+            f.write(f"rc={rc} (None = killed at {timeout}s)\n"
+                    f"== output ==\n{out}\n")
+        return None
 
-    err = "no size succeeded"
+    # stream legs FIRST: the streaming step's compiled graph is in the
+    # committed-on-disk .jax_cache from the builder's own chip runs, so the
+    # flagship 1080p leg is minutes, not the 30-min cold compile. Smaller
+    # sizes only run as fallback if the flagship leg failed.
+    err = "no stream leg succeeded"
     for h, w in sizes:
+        if remaining() < 240:
+            err = "budget exhausted before stream leg"
+            break
         log = f"/root/repo/.bench_fail_{h}x{w}.log"
-        try:
-            res = subprocess.run(
-                [sys.executable, __file__, "--size", f"{h}x{w}"],
-                capture_output=True, text=True, timeout=2700)
-            for line in res.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    rec = json.loads(line)
-                    if train_sps is not None:
-                        rec["train_steps_per_s"] = train_sps
-                    print(json.dumps(rec))
-                    return
-            # persist the FULL output so the real exception is never lost
-            # (round-2 postmortem: 200-char stderr tails destroyed the error)
-            with open(log, "w") as f:
-                f.write(f"== stdout ==\n{res.stdout}\n== stderr ==\n"
-                        f"{res.stderr}\n")
-            err = f"see {log}: " + (res.stderr or res.stdout)[-500:]
-        except subprocess.TimeoutExpired:
-            err = f"timeout at {h}x{w}"
-        print(f"# bench at {h}x{w} failed: {err}", file=sys.stderr)
-    print(json.dumps({"metric": "stream_fps_8k", "value": 0.0, "unit": "fps",
-                      "vs_baseline": 0.0, "error": err}))
+        leg_t = min(remaining() - 120, 2400)
+        rec = run_leg(["--size", f"{h}x{w}"], leg_t, log)
+        if rec is not None:
+            best = rec
+            emit(best)  # a real number is on stdout from this point on
+            break
+        err = f"stream {h}x{w} failed (see {log})"
+        print(f"# bench at {h}x{w} failed", file=sys.stderr)
+
+    # training throughput leg LAST (r4: its remote compile was SIGKILLed
+    # after ~40 min; it must never gate the stream number again). Merged into
+    # the main record as an extra field so the driver's one-line contract
+    # holds.
+    if remaining() > 300:
+        tr = run_leg(["--train"], remaining() - 60,
+                     "/root/repo/.bench_fail_train.log")
+        if tr and tr.get("train_steps_per_s") is not None:
+            if best is None:
+                best = {"metric": "train_only", "value": 0.0, "unit": "fps",
+                        "vs_baseline": 0.0}
+            best["train_steps_per_s"] = tr["train_steps_per_s"]
+            emit(best)
+        else:
+            print("# train bench failed (see .bench_fail_train.log)",
+                  file=sys.stderr)
+
+    if best is None:
+        rec = {"metric": "stream_fps_8k", "value": 0.0, "unit": "fps",
+               "vs_baseline": 0.0, "error": err}
+        last = _load_last_good()
+        if last:
+            rec["last_good"] = last
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":

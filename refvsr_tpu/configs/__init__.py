@@ -183,11 +183,12 @@ _VARIANTS = {
                                  num_blocks=24, mid_channels=24,
                                  reset_branch=9, total_itr=50000,
                                  write_ckpt_every_epoch=1),
-    # config_RefVSR_IR_MFID.py (information refill; TFID term is inert in the
-    # reference — see losses/__init__.py)
+    # config_RefVSR_IR_MFID.py:25 — spec kept VERBATIM incl. the
+    # 'TFID_ref_X_mu' term, which is inert in the reference (matches no
+    # Loss.py branch) and warn-and-skipped by our parser (losses/__init__.py)
     "RefVSR_IR_MFID": dict(network="RefVSR_IR", frame_itr_num=5, frame_num=9,
-                           loss="1*L1_lf+0.01*FID_hr", mid_channels=36,
-                           reset_branch=5),
+                           loss="1*L1_lf+0.05*TFID_ref_X_mu+0.01*FID_hr",
+                           mid_channels=36, reset_branch=5),
     "RefVSR_IR_L1": dict(network="RefVSR_IR", frame_itr_num=26, frame_num=13,
                          loss="1*L1", mid_channels=36, reset_branch=26),
 }

@@ -251,7 +251,7 @@ def _exec(x, sy, sx, padding, th, two, ysel, xsel):
         num_scalar_prefetch=2,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # flat source (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # flat source (HBM)
             coord_spec, coord_spec, coord_spec, coord_spec, coord_spec,
         ],
         out_specs=pl.BlockSpec((1, th, two, c), tile_ix4),

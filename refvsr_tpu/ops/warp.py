@@ -154,12 +154,30 @@ def _bilinear_sample_chunk(canvas, h, w, dt, sx, sy, padding):
 # TPU-only: the kernel needs Mosaic (CPU tests exercise it via interpret
 # mode in tests/test_pallas_warp_select.py, but interpret is far too slow
 # for model-sized warps, so the CPU backend keeps the XLA banded path).
-_PALLAS_WARP = True
+# DEFAULT OFF until a chip-side compile+parity run is on record for the
+# current kernel (ADVICE r4 medium: interpret-mode tests don't exercise
+# Mosaic's dynamic sublane DMA constraints); flipped by the chip session
+# after scripts/microbench_pallas_warp.py passes there.
+_PALLAS_WARP = False
 
 
 def _use_pallas_warp():
+    # ADVICE r4: this machine's tunneled TPU registers as the experimental
+    # 'axon' platform — jax.default_backend() returns "axon", not "tpu", so
+    # a =="tpu" gate silently disables the kernel on the exact device it
+    # targets (and benches the XLA banded path while appearing to test the
+    # Pallas one). Match the platform *family* instead.
     import jax
-    return _PALLAS_WARP and jax.default_backend() == "tpu"
+    if not _PALLAS_WARP:
+        return False
+    if jax.default_backend() in ("tpu", "axon"):
+        return True
+    try:
+        d = jax.devices()[0]
+        return d.platform in ("tpu", "axon") or "TPU" in str(
+            getattr(d, "device_kind", ""))
+    except Exception:
+        return False
 
 
 # batched warps above this OUTPUT byte size process items one at a time
@@ -222,6 +240,15 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
             # pass). Its per-column x anchors cover a 4 px/128-col spread;
             # the XLA path's quantized anchors can absorb up to ~10 px minus
             # slack, so neither window is a superset — chain the plans.
+            #
+            # GRADIENT-SHAPE ASSUMPTION (ADVICE r4): the kernel's custom VJP
+            # pulls back through the canvas-free lean sampler (~3x a banded
+            # backward). Training never reaches this branch at the reference
+            # recipes — the largest train-time warp is the patch-64 2x UP
+            # warp, 128*128*B pixels < _BANDED_MIN_PIXELS for B<=16 — so the
+            # slow pullback only ever runs on eval-sized grad probes. If a
+            # future recipe trains at >=2^18-pixel warps, bench the pullback
+            # first or route it through banded_sample when its plan is ok.
             from refvsr_tpu.ops.pallas.warp_select import (
                 pallas_banded_ok, pallas_banded_sample)
             okp = pallas_banded_ok(x.shape, sy, sx, padding=padding)

