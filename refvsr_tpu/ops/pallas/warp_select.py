@@ -19,12 +19,15 @@ Two structural upgrades over the XLA formulation, enabled by Pallas:
    arguments, so the kernel double-buffers the band DMA manually: tile
    t+1's copy is in flight while tile t computes.
 
-2. PER-COLUMN x anchors. The XLA path gathers (xb*C)-wide row blocks, so
-   its x anchor is quantized to xb=8 columns and the select window must
-   absorb that slack: xsel = xb + 4 = 12 -> 48 passes. A DMA reads at
-   column granularity, so the anchor is exact and xsel collapses to the
-   real intra-tile flow spread budget -> 24 passes for a *larger*
-   guaranteed spread (4 px vs 3 px across a 128-point tile).
+2. 8-QUANTIZED x anchors. The XLA path gathers (xb*C)-wide row blocks with
+   the anchor quantized to xb=8 columns; its select window absorbs that
+   slack through HBM: xsel = xb + 4 = 12 -> 48 HBM-bound passes. The DMA
+   anchor here is also 8-quantized (Mosaic requires dynamic sublane-dim
+   start offsets provably divisible by the tiling — chip session r5), so
+   the span is xsel_eff = xsel + 7 -> ysel * (6+7) = 52 passes, but each
+   pass is a VMEM-resident VPU fma: the slack costs microseconds, not HBM
+   round-trips, and the guaranteed flow spread stays 4 px per 128-col tile
+   (vs the XLA path's 3 px).
 
 Semantics match ops/warp._bilinear_sample (torch grid_sample parity,
 zeros padding; reference models/utils.py:35-43) bit-for-bit: same corner
@@ -59,15 +62,25 @@ _FORCE_INTERPRET = False
 
 
 def _geom_cols(h, w, th, two, ysel, xsel):
-    """Static geometry, per-column anchoring. h/w are RING-padded source
-    dims (i.e. raw + 2, matching _coord_prep's anchor coords). Zero padding
-    is generous enough that every clamped anchor yields an in-bounds
-    (yb, wsel) band window; only the select-window span can fail."""
+    """Static geometry, 8-quantized column anchoring. h/w are RING-padded
+    source dims (i.e. raw + 2, matching _coord_prep's anchor coords). Zero
+    padding is generous enough that every clamped anchor yields an in-bounds
+    (yb, wsel) band window; only the select-window span can fail.
+
+    Column anchors are aligned DOWN to the sublane tile (8): Mosaic rejects
+    dynamic DMA start offsets on the sublane-tiled dim of an HBM memref
+    ("Failed to prove that a tile index in dimension 1 is divisible by the
+    tiling (8)" — chip session r5; the row dim is untiled, so ky stays
+    exact). The alignment shifts a tile's window start right by up to 7
+    columns, so the select span extends by 7: xsel_eff = xsel + 7 passes in
+    x. Extra passes are VMEM-resident VPU fmas with exact-zero weights —
+    cheap, and numerics are unchanged (0-weight contributions are exact
+    zeros in the source dtype)."""
+    xsel_eff = xsel + 7
     yb = th + ysel            # rows: slice [oy:oy+th], oy <= ysel-1, +1 spare
-    # cols: slice [ox:ox+two], ox <= xsel-1; rounded up to the sublane tile
-    # (8) — Mosaic requires HBM DMA slice shapes on tiled dims to be
-    # tile-aligned ("Slice shape along dimension 1 must be aligned to 8")
-    wsel = -(-(two + xsel - 1) // 8) * 8
+    # cols: slice [ox:ox+two], ox <= xsel_eff-1; rounded up to the sublane
+    # tile (8) — slice SHAPES on tiled dims must be tile-aligned too
+    wsel = -(-(two + xsel_eff - 1) // 8) * 8
     top, left = th, two       # ky >= top - (th-1) >= 1; kx >= left-(two-1)
     hp = top + h + yb
     wp = left + w + wsel
@@ -106,14 +119,21 @@ def _tile_anchors(y0i, x0i, live, b, h, w, th, two, ysel, xsel):
     kx3 = tile_min(ax)
     dead3 = ky3 == big
     ky3 = jnp.where(dead3, 0, jnp.clip(ky3, 0, b * hp - yb))
-    kx3 = jnp.where(dead3, 0, jnp.clip(kx3, 0, wp - wsel))
+    # align column anchors DOWN to the sublane tile (see _geom_cols); the
+    # clip bound wp - wsel is 8-aligned by construction (left=two and w+ring
+    # margins are absorbed into wsel's round-up), but align after clipping
+    # anyway so the DMA start is provably divisible
+    kx3 = jnp.where(dead3, 0,
+                    (jnp.clip(kx3, 0, wp - wsel) // 8) * 8)
 
-    # select-window verdict (depends only on coordinates)
+    # select-window verdict (depends only on coordinates); dx absorbs the
+    # up-to-7-column alignment shift via the extended span
     kyb = jnp.repeat(jnp.repeat(ky3, th, axis=1), two, axis=2)
     kxb = jnp.repeat(jnp.repeat(kx3, th, axis=1), two, axis=2)
     dy = y0r - kyb - rr
     dx = x0c - kxb - cc
-    ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0) & (dx <= xsel - 2))
+    ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0)
+              & (dx <= (xsel + 7) - 2))
     ok = jnp.all(ok_sel | ~live_p)
 
     geom = (yb, wsel, top, left, hp, wp)
@@ -167,9 +187,11 @@ def _select_kernel(th, two, ysel, xsel, yb, wsel, nty, ntx, dt,
     rr = lax.broadcasted_iota(jnp.int32, (th, two), 0)
     cc = lax.broadcasted_iota(jnp.int32, (th, two), 1)
     # clamped so dead points (zero weight) read *something* in-range,
-    # mirroring warp_banded's dy_c/dx_c
+    # mirroring warp_banded's dy_c/dx_c. x span extends by 7 for the
+    # 8-quantized column anchors (_geom_cols).
+    xsel_eff = xsel + 7
     dy = jnp.clip(y0 - ky_ref[t] - rr, 0, ysel - 2)
-    dx = jnp.clip(x0 - kx_ref[t] - cc, 0, xsel - 2)
+    dx = jnp.clip(x0 - kx_ref[t] - cc, 0, xsel_eff - 2)
 
     band = band_ref[slot]
 
@@ -180,7 +202,7 @@ def _select_kernel(th, two, ysel, xsel, yb, wsel, nty, ntx, dt,
     for oy in range(ysel):
         ay = (jnp.where(dy == oy, 1.0 - tyf, 0.0)
               + jnp.where(dy == oy - 1, tyf, 0.0)) * lv
-        for ox in range(xsel):
+        for ox in range(xsel_eff):
             axw = (jnp.where(dx == ox, 1.0 - txf, 0.0)
                    + jnp.where(dx == ox - 1, txf, 0.0))
             # minor-dim insert happens in f32: Mosaic only supports a

@@ -453,6 +453,66 @@ def main():
         timeit("tail (2x grid -> 8K)", tail, params,
                img(1, 2 * h, 2 * w, mid), iters=3)
 
+    if "tail_parts" in parts:
+        # r5 roofline: tail measured 11.3x off its HBM bound (335 ms vs 30).
+        # Attribute between the tile stack, the per-chunk convs, the pixel
+        # shuffle, and the output restack.
+        feat = img(1, 2 * h, 2 * w, mid)
+        chunk_h = (2 * h) // 8 + 8  # the tiled path's per-chunk rows
+
+        @jax.jit
+        def tile_stack(x):
+            import jax as _jax
+            padded = jnp.pad(x, [(0, 0), (4, 4), (0, 0), (0, 0)])
+            tiles = jnp.stack(
+                [_jax.lax.dynamic_slice_in_dim(padded, i * ((2 * h) // 8),
+                                               chunk_h, axis=1)
+                 for i in range(8)], 0)
+            return jnp.sum(tiles.astype(jnp.float32))
+        timeit("  tail tile stack", tile_stack, feat, iters=3)
+
+        ck = img(1, chunk_h, 2 * w, mid)
+
+        @jax.jit
+        def up2_conv_chunk(params, x):
+            o = net.apply(params, x, method=lambda m, z: m.upsample2(z))
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("  tail up2 (conv+shuffle) x8", up2_conv_chunk, params, ck,
+               iters=3)
+
+        ck4 = img(1, 2 * chunk_h, 4 * w, mid)
+
+        @jax.jit
+        def convhr_chunk(params, x):
+            o = net.apply(params, x, method=lambda m, z: m.conv_hr(z))
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("  tail conv_hr x8", convhr_chunk, params, ck4, iters=3)
+
+        @jax.jit
+        def convlast_chunk(params, x):
+            o = net.apply(params, x, method=lambda m, z: m.conv_last(z))
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("  tail conv_last x8", convlast_chunk, params,
+               img(1, 2 * chunk_h, 4 * w, mid), iters=3)
+
+    if "conv_probe" in parts:
+        # per-conv cost at the propagation grids: ideal bf16 HBM cost of a
+        # 1080p C=48 3x3 conv is ~0.5 ms (0.4 GB r+w); how far off are we,
+        # and does a 128-lane-friendly channel count change it?
+        import flax.linen as fnn
+        for (hh, ww, cin, cout, tag) in [
+                (h, w, mid, mid, "1x grid 48->48"),
+                (2 * h, 2 * w, mid, mid, "2x grid 48->48"),
+                (h, w, 128, 128, "1x grid 128->128"),
+                (h, w, mid + 3, mid, "1x grid 51->48 (resblock in)")]:
+            conv = fnn.Conv(cout, (3, 3), padding="SAME", dtype=dtype)
+            cp = conv.init(key, jnp.zeros((1, 8, 8, cin), dtype))
+
+            @jax.jit
+            def one(cpar, x, _c=conv):
+                return jnp.sum(_c.apply(cpar, x).astype(jnp.float32))
+            timeit(f"  conv3x3 {tag}", one, cp, img(1, hh, ww, cin))
+
     if "full" in parts:
         # warm-shaped matching caches => the production streaming graph
         # (zero values; real after t - t//2 steps — see bench.py note)
