@@ -30,9 +30,13 @@ Two structural upgrades over the XLA formulation, enabled by Pallas:
    (vs the XLA path's 3 px).
 
 Semantics match ops/warp._bilinear_sample (torch grid_sample parity,
-zeros padding; reference models/utils.py:35-43) bit-for-bit: same corner
-weights (f32, cast to the source dtype), same source-dtype accumulation,
-same pass order, same exact-zero masking of dead points.
+zeros padding; reference models/utils.py:35-43): same f32 corner weights,
+same source-dtype accumulation, same pass order, same exact-zero masking
+of dead points. In interpret mode this is bit-exact vs the XLA paths (the
+tests assert it); ON CHIP the bf16 accumulation rounds <=2 ulp differently
+(Mosaic fuses multiply-adds / keeps excess precision where XLA's op-by-op
+graph rounds every step) — both are valid roundings of the same math, and
+the chip microbench asserts the <=2-ulp envelope instead.
 
 Exactness contract: callers check `pallas_banded_ok` (coordinate-only
 plan) and only invoke `pallas_banded_sample` in the ok branch of a
@@ -160,8 +164,13 @@ def _select_kernel(th, two, ysel, xsel, yb, wsel, nty, ntx, dt,
     nt = pl.num_programs(0)
 
     def band_dma(slot, tt):
+        # kx_ref holds kx/8: Mosaic's divisibility prover is syntactic, so a
+        # runtime value that merely HAPPENS to be a multiple of 8 fails
+        # ("Failed to prove that a tile index in dimension 1 is divisible by
+        # the tiling (8)"); `q * 8` is provably aligned.
         return pltpu.make_async_copy(
-            src_ref.at[pl.ds(ky_ref[tt], yb), pl.ds(kx_ref[tt], wsel), :],
+            src_ref.at[pl.ds(ky_ref[tt], yb),
+                       pl.ds(kx_ref[tt] * 8, wsel), :],
             band_ref.at[slot],
             sem_ref.at[slot])
 
@@ -191,17 +200,29 @@ def _select_kernel(th, two, ysel, xsel, yb, wsel, nty, ntx, dt,
     # 8-quantized column anchors (_geom_cols).
     xsel_eff = xsel + 7
     dy = jnp.clip(y0 - ky_ref[t] - rr, 0, ysel - 2)
-    dx = jnp.clip(x0 - kx_ref[t] - cc, 0, xsel_eff - 2)
+    dx = jnp.clip(x0 - kx_ref[t] * 8 - cc, 0, xsel_eff - 2)
 
-    band = band_ref[slot]
+    c_pad = band_ref.shape[-1]
+    c_out = out_ref.shape[-1]
 
     # select passes: separable weights (exactly the XLA path's corner
     # weights since lv is 0/1 — f32 multiply by 1.0 is exact), source-dtype
-    # accumulation in the same (oy, ox) ascending pass order
-    acc = jnp.zeros((th, two, band.shape[-1]), dt)
-    for oy in range(ysel):
+    # accumulation in the same (oy, ox) ascending pass order. The band (and
+    # acc) carry the lane-tile-padded channel dim (DMA slice extents on the
+    # lane dim must be multiples of 128); the pad lanes hold zeros and are
+    # dropped at the final store.
+    #
+    # Loop structure: fori over oy with a dynamic row slice, STATIC unroll
+    # only over the xsel_eff column passes. A fully-unrolled ysel*xsel_eff
+    # nest made Mosaic pre-materialize every (th, two, c_pad) slice on the
+    # kernel stack (~0.5 MB x 52) -> "Ran out of memory in memory space
+    # vmem while allocating on stack" (chip session r5).
+    def oy_body(oy, acc):
         ay = (jnp.where(dy == oy, 1.0 - tyf, 0.0)
               + jnp.where(dy == oy - 1, tyf, 0.0)) * lv
+        # direct ref load of the th-row window (dim is untiled -> dynamic
+        # start allowed); avoids materializing the whole band per iteration
+        rows = band_ref[slot, pl.ds(oy, th)]
         for ox in range(xsel_eff):
             axw = (jnp.where(dx == ox, 1.0 - txf, 0.0)
                    + jnp.where(dx == ox - 1, txf, 0.0))
@@ -210,14 +231,17 @@ def _select_kernel(th, two, ysel, xsel, yb, wsel, nty, ntx, dt,
             # source dtype AFTER the insert keeps the XLA path's exact
             # corner-weight numerics (f32 weight cast to dt, dt accumulate)
             wgt = (ay * axw)[..., None].astype(dt)
-            sl = lax.slice(band, (oy, ox, 0),
-                           (oy + th, ox + two, band.shape[-1]))
+            sl = lax.slice(rows, (0, ox, 0), (th, ox + two, c_pad))
             acc = acc + wgt * sl
+        return acc
+
+    acc = lax.fori_loop(0, ysel, oy_body,
+                        jnp.zeros((th, two, c_pad), dt))
 
     # dead points must be EXACT zeros (NaN coords give NaN fractions, and
     # NaN * 0 = NaN) — same final mask as the XLA paths
     acc = jnp.where(lv[..., None] > 0, acc, jnp.zeros((), dt))
-    out_ref[0] = acc
+    out_ref[0] = acc[..., :c_out]
 
 
 def _lean_reference(x, sy, sx, padding):
@@ -246,10 +270,14 @@ def _exec(x, sy, sx, padding, th, two, ysel, xsel):
     ho_p, wo_p, nty, ntx = grids
     nt = b * nty * ntx
 
-    # one zero pad covers the grid_sample ring (+1) AND the band margins
+    # one zero pad covers the grid_sample ring (+1), the band margins, AND
+    # the lane-tile channel pad (DMA lane-dim slice extents must be
+    # multiples of 128 — chip session r5: "Slice shape along dimension 2
+    # must be aligned to tiling (128), but is 48")
+    c_pad = -(-c // 128) * 128
     xp = jnp.pad(x, [(0, 0), (top + 1, hp - top - 1 - h),
-                     (left + 1, wp - left - 1 - w), (0, 0)])
-    flat = xp.reshape(b * hp, wp, c)
+                     (left + 1, wp - left - 1 - w), (0, c_pad - c)])
+    flat = xp.reshape(b * hp, wp, c_pad)
 
     pad = [(0, 0), (0, ho_p - ho), (0, wo_p - wo)]
     y0r = jnp.pad(y0i, pad) + top + \
@@ -278,7 +306,7 @@ def _exec(x, sy, sx, padding, th, two, ysel, xsel):
         ],
         out_specs=pl.BlockSpec((1, th, two, c), tile_ix4),
         scratch_shapes=[
-            pltpu.VMEM((2, yb, wsel, c), x.dtype),
+            pltpu.VMEM((2, yb, wsel, c_pad), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -291,7 +319,9 @@ def _exec(x, sy, sx, padding, th, two, ysel, xsel):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_FORCE_INTERPRET,
-    )(ky, kx, flat, y0r, x0c, tyf, txf, lvf)
+        # kx is passed as kx/8 so the DMA start is PROVABLY sublane-aligned
+        # (see band_dma); _tile_anchors already quantized it to 8
+    )(ky, kx // 8, flat, y0r, x0c, tyf, txf, lvf)
     return out[:, :ho, :wo]
 
 

@@ -154,11 +154,13 @@ def _bilinear_sample_chunk(canvas, h, w, dt, sx, sy, padding):
 # TPU-only: the kernel needs Mosaic (CPU tests exercise it via interpret
 # mode in tests/test_pallas_warp_select.py, but interpret is far too slow
 # for model-sized warps, so the CPU backend keeps the XLA banded path).
-# DEFAULT OFF until a chip-side compile+parity run is on record for the
-# current kernel (ADVICE r4 medium: interpret-mode tests don't exercise
-# Mosaic's dynamic sublane DMA constraints); flipped by the chip session
-# after scripts/microbench_pallas_warp.py passes there.
-_PALLAS_WARP = False
+# ON: chip session r5 recorded a successful compile + run + parity
+# envelope for the current kernel (scripts/microbench_pallas_warp.py on
+# v5e: UP-shape 152.9 ms vs 360.8 XLA banded, feat-shape 41.7 vs 102.3;
+# outputs within 2 bf16 ulp of the XLA path — see warp_select.py docstring
+# for why bit-exactness doesn't hold on chip). The ADVICE r4 gate
+# (default-off until a chip run is on record) is satisfied.
+_PALLAS_WARP = True
 
 
 def _use_pallas_warp():

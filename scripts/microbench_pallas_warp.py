@@ -78,12 +78,27 @@ def bench(quick=False):
                 .astype(jnp.float32)))
             timeit("quad canvas", fnq, x, sy, sx)
 
-        # parity spot check on chip (bf16 must be bit-exact vs banded)
+        # parity spot check on chip. NOT bit-exact vs the XLA banded path:
+        # Mosaic's fused multiply-adds (and the terminal's
+        # --xla_allow_excess_precision) round the bf16 accumulation chain
+        # differently than XLA's op-by-op graph — chip session r5 measured
+        # a global <=2-ulp spread (max |d| 0.031 on N(0,1) data, sample
+        # pairs 1 ulp apart). Both are valid bf16 roundings of identical
+        # f32 corner weights, so the contract is <=2 bf16 ulp relative.
         outp = jax.jit(functools.partial(pallas_banded_sample))(x, sy, sx)
         outb, okb = jax.jit(functools.partial(banded_sample))(x, sy, sx)
-        same = bool(jnp.all(outp == outb))
-        print(f"   chip parity pallas==banded: {same} (banded ok="
-              f"{bool(okb)})")
+        a = np.asarray(outp, np.float32)
+        b = np.asarray(outb, np.float32)
+        # envelope: a bilinear output is a <=1-weighted sum of 4 corners, so
+        # rounding-path divergence is bounded by ~2 ulp of the CORNER
+        # magnitudes, not of the (possibly cancelled-to-zero) result —
+        # atol = 4*eps*max|x|. Cancellation points make pure-rtol checks
+        # meaningless (chip r5: max ulp-of-result ratio 936 while max|d|
+        # stayed at 2 ulp of max|x|).
+        atol = float(4 * 2 ** -8 * np.abs(np.asarray(x, np.float32)).max())
+        close = bool(np.allclose(a, b, rtol=4 * 2 ** -8, atol=atol))
+        print(f"   chip parity pallas~=banded (<=2 bf16 ulp): {close} "
+              f"(max|d|={np.abs(a - b).max():.4g}, banded ok={bool(okb)})")
 
 
 if __name__ == "__main__":
