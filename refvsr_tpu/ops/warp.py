@@ -239,9 +239,17 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
             # Pallas VMEM-select kernel: band + accumulator live in VMEM, so
             # HBM sees the band once and the output once (the XLA banded
             # path re-reads band + accumulator through HBM on every select
-            # pass). Its per-column x anchors cover a 4 px/128-col spread;
-            # the XLA path's quantized anchors can absorb up to ~10 px minus
-            # slack, so neither window is a superset — chain the plans.
+            # pass).
+            #
+            # The fallback is the LEAN sampler directly — the XLA banded
+            # middle branch is deliberately NOT chained in: XLA buffer
+            # assignment reserves max-over-branches, and the banded band
+            # block is ~3.96 GB at the UP-warp shape (chip r5 memcheck: the
+            # lanes=2 stream graph held FOUR of them -> 19.4 GB compile
+            # OOM). The pallas plan covers the overwhelming majority of
+            # real flows (2 px/16 rows, 4 px/128 cols guaranteed spread);
+            # the rare violent-flow tile pays lean's ~3x, which beats
+            # carrying 4 GB of dead reserve in every graph.
             #
             # GRADIENT-SHAPE ASSUMPTION (ADVICE r4): the kernel's custom VJP
             # pulls back through the canvas-free lean sampler (~3x a banded
@@ -257,7 +265,7 @@ def _bilinear_sample(x: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
             return lax.cond(
                 okp,
                 lambda: pallas_banded_sample(x, sy, sx, padding=padding),
-                _xla_banded)
+                _lean)
         return _xla_banded()
     return _bilinear_sample_quad(x, sx, sy, padding)
 
