@@ -290,10 +290,13 @@ class PixelShufflePack(nn.Module):
     upsample_kernel: int = 3
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, shuffle: bool = True):
+        """shuffle=False returns the pre-shuffle (C*r^2)-channel tensor —
+        consumers that continue with preshuffle_conv (the 8K tail,
+        models/refvsr.py) defer the depth-to-space to the very end."""
         x = Conv2d(self.features * self.scale_factor ** 2,
                    self.upsample_kernel, name="upsample_conv")(x)
-        return pixel_shuffle(x, self.scale_factor)
+        return pixel_shuffle(x, self.scale_factor) if shuffle else x
 
 
 VGG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)

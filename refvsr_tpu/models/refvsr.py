@@ -189,8 +189,10 @@ class RefVSRNet(nn.Module):
         self.upsample1 = PixelShufflePack(mid, 2, name="upsample1")
         if self.scale == 4:
             self.upsample2 = PixelShufflePack(mid, 2, name="upsample2")
-        self.conv_hr = Conv2d(mid, 3, name="conv_hr")
-        self.conv_last = Conv2d(3, 3, name="conv_last")
+        # in_features: enables the params-only mode (x=None) the pre-shuffle
+        # tail uses to fetch raw kernels for preshuffle_conv
+        self.conv_hr = Conv2d(mid, 3, in_features=mid, name="conv_hr")
+        self.conv_last = Conv2d(3, 3, in_features=mid, name="conv_last")
 
     # ---------------- sub-computations ----------------
 
@@ -414,6 +416,70 @@ class RefVSRNet(nn.Module):
         outs = outs.transpose(1, 0, 2, 3, 4)
         return outs.reshape(n, up * h, up * w, 3)
 
+    def _tail_preshuffle_tiled(self, out):
+        """Row-tiled PRE-SHUFFLE tail for scale-4 8K outputs.
+
+        All three tail ops run on the 2x grid: upsample2's conv (48->192,
+        shuffle deferred), then conv_hr and conv_last as preshuffle_conv
+        (ops/conv.py — exact kernel rearrangements, 192->192 and 192->12),
+        with ONE pixel shuffle at the very end. Same math as
+        _tail(: upsample2 -> lrelu -> conv_hr -> lrelu -> conv_last) since
+        lrelu commutes with depth-to-space; verified vs the direct tail in
+        tests/test_refvsr_net.py. Why: the 4x-grid (33 MP) C=48 convs run
+        at ~4% MXU (r5 roofline: tail 335 ms, 11.3x off bound); the
+        transformed convs see 4x channels on 1/4 the pixels, and no 4x-grid
+        tensor ever exists until the final (reshape-only) shuffle."""
+        from refvsr_tpu.ops.conv import preshuffle_conv
+        from refvsr_tpu.ops.image import pixel_shuffle
+        n, h, w, _ = out.shape
+        k_hr, b_hr = self.conv_hr(None)
+        k_last, b_last = self.conv_last(None)
+        k_hr = k_hr.astype(out.dtype)
+        k_last = k_last.astype(out.dtype)
+
+        halo = 4  # 3 chained 3x3 convs -> 3-row receptive field, +1 margin
+        num_chunks = next((k for k in (8, 6, 4, 2, 1) if h % k == 0), 1)
+        chunk = h // num_chunks
+
+        def stage(y, mask):
+            a = lrelu(self.upsample2(y, shuffle=False), 0.1) * mask
+            a = lrelu(preshuffle_conv(a, k_hr, b_hr, 2), 0.1) * mask
+            return preshuffle_conv(a, k_last, b_last, 2)
+
+        if num_chunks == 1:
+            res = stage(out, jnp.ones((), out.dtype))
+            return pixel_shuffle(res, 2)
+
+        padded = jnp.pad(out, [(0, 0), (halo, halo), (0, 0), (0, 0)])
+        tiles = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(padded, i * chunk,
+                                          chunk + 2 * halo, axis=1)
+             for i in range(num_chunks)], 0)
+
+        # rows of each tile that lie inside the image: edge tiles must
+        # re-zero the out-of-image halo after every biased op (same-conv
+        # zero-pad semantics), exactly like _tail_tiled — but on the SAME
+        # grid (no up-factor bookkeeping)
+        import numpy as onp
+        tile_rows = chunk + 2 * halo
+        masks = onp.zeros((num_chunks, tile_rows), onp.float32)
+        for i in range(num_chunks):
+            g = i * chunk - halo + onp.arange(tile_rows)
+            masks[i] = ((g >= 0) & (g < h)).astype(onp.float32)
+        masks = jnp.asarray(masks, out.dtype)
+
+        def step(mdl, carry, xs):
+            tile, m = xs
+            y = stage(tile, m[None, :, None, None])
+            return carry, y[:, halo: halo + chunk]
+
+        _, outs = nn.scan(step, variable_broadcast="params",
+                          split_rngs={"params": False})(self, None,
+                                                        (tiles, masks))
+        # (K, N, chunk, w, 12) -> (N, h, w, 12) -> shuffle -> (N, 2h, 2w, 3)
+        outs = outs.transpose(1, 0, 2, 3, 4).reshape(n, h, w, 12)
+        return pixel_shuffle(outs, 2)
+
     def compute_up(self, backward_feat_up, forward_feat_up, conf_bw, conf_fw,
                    base):
         """Final fusion + upsampling (RefVSR.py:104-119)."""
@@ -432,6 +498,8 @@ class RefVSRNet(nn.Module):
         from refvsr_tpu.parallel.spatial import active as _spatial_active
         if (_spatial_active() is None
                 and out.shape[1] * out.shape[2] >= self._TAIL_TILE_THRESHOLD):
+            if self.scale == 4:
+                return self._tail_preshuffle_tiled(out) + base
             return self._tail_tiled(out) + base
         return self._tail(out) + base
 

@@ -89,3 +89,73 @@ def wide_im2col_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(x.dtype)
     return out
+
+
+import functools
+
+import numpy as _onp
+
+
+@functools.lru_cache(maxsize=None)
+def _preshuffle_maps(kh: int, kw: int, ci: int, co: int, r: int):
+    """Static gather maps turning a (kh, kw, Ci, Co) conv kernel into its
+    pre-shuffle equivalent (kh, kw, Ci*r^2, Co*r^2).
+
+    Identity: conv_k(pixel_shuffle(A, r)) == pixel_shuffle(conv_k2(A), r)
+    where k2 is the returned rearrangement — each output phase (p, q) of
+    each output channel o reads input phase (rho, sigma) of channel c at
+    pre-shuffle offset (a, b) iff dy = r*a + rho - p and dx = r*b + sig - q
+    land inside the original k-tap window. Requires the taps to fit:
+    r*(kh//2) covers the phase-shifted offsets (true for k=3, r=2).
+
+    pixel_shuffle convention (ops/image.py): channel = c*r*r + p*r + q,
+    p = row phase."""
+    r2 = r * r
+    hh, hw = kh // 2, kw // 2
+    a = _onp.arange(kh) - hh                      # pre-shuffle row offsets
+    b = _onp.arange(kw) - hw
+    ci_ix = _onp.arange(ci * r2)
+    c, rho, sig = ci_ix // r2, (ci_ix % r2) // r, ci_ix % r
+    co_ix = _onp.arange(co * r2)
+    o, p, q = co_ix // r2, (co_ix % r2) // r, co_ix % r
+
+    dy = (r * a[:, None, None, None] + rho[None, None, :, None]
+          - p[None, None, None, :])              # (kh, 1, ci*r2, co*r2)
+    dx = (r * b[None, :, None, None] + sig[None, None, :, None]
+          - q[None, None, None, :])              # (1, kw, ci*r2, co*r2)
+    my = (dy >= -hh) & (dy <= hh)
+    mx = (dx >= -hw) & (dx <= hw)
+    dyi = _onp.clip(dy, -hh, hh) + hh
+    dxi = _onp.clip(dx, -hw, hw) + hw
+    sh = (kh, kw, ci * r2, co * r2)
+    return (_onp.broadcast_to(dyi, sh).copy(),
+            _onp.broadcast_to(dxi, sh).copy(),
+            _onp.broadcast_to(c[None, None, :, None], sh).copy(),
+            _onp.broadcast_to(o[None, None, None, :], sh).copy(),
+            _onp.broadcast_to(my & mx, sh).copy())
+
+
+def preshuffle_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias, r: int = 2):
+    """Conv-after-pixel_shuffle computed BEFORE the shuffle.
+
+    x: (N, H, W, Ci*r^2) pre-shuffle tensor; kernel: (k, k, Ci, Co);
+    returns (N, H, W, Co*r^2) such that
+    pixel_shuffle(out, r) == conv_same(pixel_shuffle(x, r), kernel) + bias.
+
+    Why: the reference tail (RefVSR.py:114-118) runs 3x3 convs on the
+    r-upscaled grid — at 8K output those are 33 MP x C=48 convs that XLA
+    executes at ~4% MXU (chip r5 roofline: tail 11.3x off its HBM bound).
+    The transformed conv has r^2-fold channels on 1/r^2 the pixels: the
+    same real math at MXU-friendly channel counts, and the r-grid tensor
+    is never materialized until the single final shuffle."""
+    kh, kw, ci, co = kernel.shape
+    dyi, dxi, cc, oo, m = _preshuffle_maps(kh, kw, ci, co, r)
+    k2 = kernel[dyi, dxi, cc, oo] * jnp.asarray(m, kernel.dtype)
+    out = lax.conv_general_dilated(
+        x, k2, window_strides=(1, 1),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if bias is not None:
+        out = out + jnp.repeat(bias, r * r).astype(x.dtype)
+    return out

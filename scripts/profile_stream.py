@@ -453,6 +453,15 @@ def main():
         timeit("tail (2x grid -> 8K)", tail, params,
                img(1, 2 * h, 2 * w, mid), iters=3)
 
+    if "tail_pre" in parts:
+        @jax.jit
+        def tail_pre(params, feat):
+            o = net.apply(params, feat,
+                          method=lambda m, f: m._tail_preshuffle_tiled(f))
+            return jnp.sum(o.astype(jnp.float32))
+        timeit("tail PRESHUFFLE (2x -> 8K)", tail_pre, params,
+               img(1, 2 * h, 2 * w, mid), iters=3)
+
     if "tail_parts" in parts:
         # r5 roofline: tail measured 11.3x off its HBM bound (335 ms vs 30).
         # Attribute between the tile stack, the per-chunk convs, the pixel

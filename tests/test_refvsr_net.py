@@ -134,3 +134,18 @@ def test_tiled_tail_matches_direct(train_setup):
     tiled = net.apply(params, method=lambda m: m._tail_tiled(x))
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(direct),
                                atol=2e-6)
+
+
+def test_preshuffle_tail_matches_direct(train_setup):
+    """Pre-shuffle tiled tail (transformed convs on the 2x grid, one final
+    shuffle — the r5 production 8K path) == direct tail, including edge
+    tiles and the non-divisible fallback."""
+    net, params, _, _, _ = train_setup
+    import jax
+    for h in (16, 17):  # 17: num_chunks falls back to 1 (direct stage)
+        x = jax.random.uniform(jax.random.PRNGKey(3), (1, h, 24, 8))
+        direct = net.apply(params, method=lambda m: m._tail(x))
+        pre = net.apply(params,
+                        method=lambda m: m._tail_preshuffle_tiled(x))
+        np.testing.assert_allclose(np.asarray(pre), np.asarray(direct),
+                                   atol=2e-6, err_msg=f"h={h}")
