@@ -212,7 +212,26 @@ def main():
         print(json.dumps(_run_one(h, w, lanes=lanes)))
         return
     if len(sys.argv) == 2 and sys.argv[1] == "--train":
-        print(json.dumps({"train_steps_per_s": round(bench_train(), 4)}))
+        # patch fallback: the flagship patch-64 train-step compile has
+        # SIGKILLed the remote compile helper (r4, r5 leg 4 — helper OOM on
+        # the windowed-scan + MFID + backward program), while patch 48/32
+        # compile and run (r5: 3.17 / 2.91 steps/s). Walk down until one
+        # lands; the record says which geometry the number belongs to.
+        # (64,1) first: the flagship geometry, one window position = one
+        # compiled step (r5 chip: 1.94 steps/s; windows=3 triples the
+        # compile count for the same per-step rate)
+        for patch, windows in ((64, 1), (48, 1), (32, 1)):
+            try:
+                sps = bench_train(patch=patch, windows=windows, iters=2)
+                print(json.dumps({"train_steps_per_s": round(sps, 4),
+                                  "train_patch": patch,
+                                  "train_windows": windows}))
+                return
+            except Exception as e:
+                print(f"# train bench patch={patch} windows={windows} "
+                      f"failed: {str(e).splitlines()[0][:120]}",
+                      file=sys.stderr)
+        print(json.dumps({"train_steps_per_s": None}))
         return
 
     # ---- budgeted driver mode (VERDICT r4 #1) -----------------------------

@@ -19,15 +19,17 @@ Two structural upgrades over the XLA formulation, enabled by Pallas:
    arguments, so the kernel double-buffers the band DMA manually: tile
    t+1's copy is in flight while tile t computes.
 
-2. 8-QUANTIZED x anchors. The XLA path gathers (xb*C)-wide row blocks with
-   the anchor quantized to xb=8 columns; its select window absorbs that
-   slack through HBM: xsel = xb + 4 = 12 -> 48 HBM-bound passes. The DMA
-   anchor here is also 8-quantized (Mosaic requires dynamic sublane-dim
-   start offsets provably divisible by the tiling — chip session r5), so
-   the span is xsel_eff = xsel + 7 -> ysel * (6+7) = 52 passes, but each
-   pass is a VMEM-resident VPU fma: the slack costs microseconds, not HBM
-   round-trips, and the guaranteed flow spread stays 4 px per 128-col tile
-   (vs the XLA path's 3 px).
+2. EXACT x anchors via residual pre-shift. The XLA path gathers (xb*C)-wide
+   row blocks with the anchor quantized to xb=8 columns; its select window
+   absorbs that slack through HBM: xsel = xb + 4 = 12 -> 48 HBM-bound
+   passes. The DMA start here must also be 8-aligned (Mosaic requires
+   dynamic sublane-dim offsets provably divisible by the tiling — chip
+   session r5), but the 0..7 alignment residual is handled by ONE dynamic
+   in-VMEM column shift of the band per (tile, oy) instead of 7 extra
+   select passes: ysel * xsel = 24 VPU passes total (an earlier widened-
+   span variant ran 52 passes and measured VPU-bound at 153 ms for the UP
+   shape), with the guaranteed flow spread at 4 px per 128-col tile (vs
+   the XLA path's 3 px).
 
 Semantics match ops/warp._bilinear_sample (torch grid_sample parity,
 zeros padding; reference models/utils.py:35-43): same f32 corner weights,
@@ -123,26 +125,28 @@ def _tile_anchors(y0i, x0i, live, b, h, w, th, two, ysel, xsel):
     kx3 = tile_min(ax)
     dead3 = ky3 == big
     ky3 = jnp.where(dead3, 0, jnp.clip(ky3, 0, b * hp - yb))
-    # align column anchors DOWN to the sublane tile (see _geom_cols); the
-    # clip bound wp - wsel is 8-aligned by construction (left=two and w+ring
-    # margins are absorbed into wsel's round-up), but align after clipping
-    # anyway so the DMA start is provably divisible
-    kx3 = jnp.where(dead3, 0,
-                    (jnp.clip(kx3, 0, wp - wsel) // 8) * 8)
+    # EXACT column anchor (clipped), split into the 8-aligned DMA start
+    # (Mosaic sublane-tiling constraint, see _geom_cols) plus a 0..7
+    # residual. The kernel pre-shifts the band by the residual once per
+    # tile, so the select span stays the TIGHT xsel (24 passes) instead of
+    # absorbing the alignment slack with 7 extra zero-weight column passes
+    # (52 passes — measured VPU-bound at 153 ms for the UP shape).
+    kxe = jnp.where(dead3, 0, jnp.clip(kx3, 0, wp - wsel))
+    kx8 = (kxe // 8) * 8
+    kr3 = kxe - kx8
 
-    # select-window verdict (depends only on coordinates); dx absorbs the
-    # up-to-7-column alignment shift via the extended span
+    # select-window verdict against the EXACT anchor
     kyb = jnp.repeat(jnp.repeat(ky3, th, axis=1), two, axis=2)
-    kxb = jnp.repeat(jnp.repeat(kx3, th, axis=1), two, axis=2)
+    kxb = jnp.repeat(jnp.repeat(kxe, th, axis=1), two, axis=2)
     dy = y0r - kyb - rr
     dx = x0c - kxb - cc
-    ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0)
-              & (dx <= (xsel + 7) - 2))
+    ok_sel = ((dy >= 0) & (dy <= ysel - 2) & (dx >= 0) & (dx <= xsel - 2))
     ok = jnp.all(ok_sel | ~live_p)
 
     geom = (yb, wsel, top, left, hp, wp)
     grids = (ho_p, wo_p, nty, ntx)
-    return ky3.reshape(-1), kx3.reshape(-1), ok, geom, grids
+    return (ky3.reshape(-1), kx8.reshape(-1), kr3.reshape(-1), ok, geom,
+            grids)
 
 
 def pallas_banded_ok(x_shape, sy, sx, padding="zeros", th=_TH, two=_TWO,
@@ -152,14 +156,14 @@ def pallas_banded_ok(x_shape, sy, sx, padding="zeros", th=_TH, two=_TWO,
     warp_banded.banded_ok's role in the plan/exec split."""
     b, h, w, _ = x_shape
     y0i, x0i, _, _, live = _coord_prep(sy, sx, h, w, padding)
-    _, _, ok, _, _ = _tile_anchors(y0i, x0i, live, b, h + 2, w + 2,
-                                   th, two, ysel, xsel)
+    _, _, _, ok, _, _ = _tile_anchors(y0i, x0i, live, b, h + 2, w + 2,
+                                      th, two, ysel, xsel)
     return ok
 
 
 def _select_kernel(th, two, ysel, xsel, yb, wsel, nty, ntx, dt,
-                   ky_ref, kx_ref, src_ref, y0_ref, x0_ref, ty_ref, tx_ref,
-                   lv_ref, out_ref, band_ref, sem_ref):
+                   ky_ref, kx_ref, kr_ref, src_ref, y0_ref, x0_ref, ty_ref,
+                   tx_ref, lv_ref, out_ref, band_ref, sem_ref):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -196,11 +200,19 @@ def _select_kernel(th, two, ysel, xsel, yb, wsel, nty, ntx, dt,
     rr = lax.broadcasted_iota(jnp.int32, (th, two), 0)
     cc = lax.broadcasted_iota(jnp.int32, (th, two), 1)
     # clamped so dead points (zero weight) read *something* in-range,
-    # mirroring warp_banded's dy_c/dx_c. x span extends by 7 for the
-    # 8-quantized column anchors (_geom_cols).
-    xsel_eff = xsel + 7
+    # mirroring warp_banded's dy_c/dx_c. The EXACT anchor is the aligned
+    # DMA start plus the per-tile residual. For 16-bit data the band
+    # pre-rotate works in bitcast-packed i32 (pltpu.bitcast packs SUBLANE
+    # pairs: (th, wsel, c) bf16 -> (th, wsel/2, c) i32), so it can only
+    # shift by EVEN column counts — the odd bit of the residual is instead
+    # absorbed by ONE extra select column (span xsel + 1 -> 28 passes,
+    # still 1.9x fewer than the widened-span variant's 52).
+    kres = kr_ref[t]
+    pack = 2 if dt in (jnp.bfloat16, jnp.float16) else 1
+    kshift = (kres // pack) * pack
+    span = xsel + (pack - 1)
     dy = jnp.clip(y0 - ky_ref[t] - rr, 0, ysel - 2)
-    dx = jnp.clip(x0 - kx_ref[t] * 8 - cc, 0, xsel_eff - 2)
+    dx = jnp.clip(x0 - (kx_ref[t] * 8 + kshift) - cc, 0, span - 2)
 
     c_pad = band_ref.shape[-1]
     c_out = out_ref.shape[-1]
@@ -213,17 +225,35 @@ def _select_kernel(th, two, ysel, xsel, yb, wsel, nty, ntx, dt,
     # dropped at the final store.
     #
     # Loop structure: fori over oy with a dynamic row slice, STATIC unroll
-    # only over the xsel_eff column passes. A fully-unrolled ysel*xsel_eff
-    # nest made Mosaic pre-materialize every (th, two, c_pad) slice on the
-    # kernel stack (~0.5 MB x 52) -> "Ran out of memory in memory space
-    # vmem while allocating on stack" (chip session r5).
+    # only over the xsel column passes. A fully-unrolled nest made Mosaic
+    # pre-materialize every (th, two, c_pad) slice on the kernel stack
+    # ("Ran out of memory in memory space vmem ... on stack", chip r5).
     def oy_body(oy, acc):
         ay = (jnp.where(dy == oy, 1.0 - tyf, 0.0)
               + jnp.where(dy == oy - 1, tyf, 0.0)) * lv
         # direct ref load of the th-row window (dim is untiled -> dynamic
-        # start allowed); avoids materializing the whole band per iteration
+        # start allowed); the column pre-rotate by the (even part of the)
+        # alignment residual happens here ONCE per (tile, oy) instead of 7
+        # extra select passes. lax.dynamic_slice on a VMEM value is not
+        # lowerable and pltpu.roll rejects 16-bit data (chip r5), so bf16
+        # rows rotate in bitcast-packed i32 (sublane pairs -> shift in
+        # pairs). No used position wraps: kshift + span - 1 + two - 1
+        # <= 6 + 134 = 140 < wsel = 144.
+        # pltpu.roll only accepts NON-NEGATIVE shifts (a traced negative
+        # compiles but rotates garbage — chip r5); a left-rotate by k is a
+        # right-rotate by n - k. Wrapped-in columns land at indices >= n - 3
+        # (bf16 cols >= 138), beyond the last read column ox + two - 1
+        # <= 133.
         rows = band_ref[slot, pl.ds(oy, th)]
-        for ox in range(xsel_eff):
+        if pack == 2:
+            n32 = rows.shape[1] // 2
+            r32 = pltpu.bitcast(rows, jnp.int32)
+            sh = jnp.mod(n32 - kres // 2, n32)
+            rows = pltpu.bitcast(pltpu.roll(r32, sh, axis=1), rows.dtype)
+        else:
+            nn = rows.shape[1]
+            rows = pltpu.roll(rows, jnp.mod(nn - kres, nn), axis=1)
+        for ox in range(span):
             axw = (jnp.where(dx == ox, 1.0 - txf, 0.0)
                    + jnp.where(dx == ox - 1, txf, 0.0))
             # minor-dim insert happens in f32: Mosaic only supports a
@@ -264,8 +294,9 @@ def _exec(x, sy, sx, padding, th, two, ysel, xsel):
     b, h, w, c = x.shape
     ho, wo = sy.shape[1], sy.shape[2]
     y0i, x0i, ty, tx, live = _coord_prep(sy, sx, h, w, padding)
-    ky, kx, _, geom, grids = _tile_anchors(y0i, x0i, live, b, h + 2, w + 2,
-                                           th, two, ysel, xsel)
+    ky, kx, kr, _, geom, grids = _tile_anchors(y0i, x0i, live, b,
+                                               h + 2, w + 2,
+                                               th, two, ysel, xsel)
     yb, wsel, top, left, hp, wp = geom
     ho_p, wo_p, nty, ntx = grids
     nt = b * nty * ntx
@@ -298,7 +329,7 @@ def _exec(x, sy, sx, padding, th, two, ysel, xsel):
 
     coord_spec = pl.BlockSpec((1, th, two), tile_ix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # flat source (HBM)
@@ -320,8 +351,8 @@ def _exec(x, sy, sx, padding, th, two, ysel, xsel):
             dimension_semantics=("arbitrary",)),
         interpret=_FORCE_INTERPRET,
         # kx is passed as kx/8 so the DMA start is PROVABLY sublane-aligned
-        # (see band_dma); _tile_anchors already quantized it to 8
-    )(ky, kx // 8, flat, y0r, x0c, tyf, txf, lvf)
+        # (see band_dma); kr is the 0..7 residual the kernel pre-shifts by
+    )(ky, kx // 8, kr, flat, y0r, x0c, tyf, txf, lvf)
     return out[:, :ho, :wo]
 
 
