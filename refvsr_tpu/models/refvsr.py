@@ -430,7 +430,7 @@ class RefVSRNet(nn.Module):
         transformed convs see 4x channels on 1/4 the pixels, and no 4x-grid
         tensor ever exists until the final (reshape-only) shuffle."""
         from refvsr_tpu.ops.conv import preshuffle_conv
-        from refvsr_tpu.ops.image import pixel_shuffle
+        from refvsr_tpu.ops.image import pixel_shuffle_deconv as pixel_shuffle
         n, h, w, _ = out.shape
         k_hr, b_hr = self.conv_hr(None)
         k_last, b_last = self.conv_last(None)

@@ -18,6 +18,30 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return x.reshape(n, h * r, w * r, c)
 
 
+def pixel_shuffle_deconv(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """pixel_shuffle computed as a stride-r transposed conv with a one-hot
+    kernel. Identical values; different lowering: the reshape/transpose
+    formulation materializes a 6-D intermediate whose (r, r, c) minor dims
+    sublane/lane-pad catastrophically when it can't fuse — at the 8K tail
+    output (2160, 3840, 12) the padding expansion is 64x, an 11.87 GB
+    buffer (chip session r5 bench OOM). The conv-transpose path moves the
+    same bytes through the conv machinery's proper tiling. Use for LARGE
+    tensors feeding outputs; the plain reshape fuses fine elsewhere."""
+    import jax.lax as lax
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    # conv_transpose spatially FLIPS the kernel (adjoint of a strided
+    # conv): phase (p, q) lands at output offset (r-1-p, r-1-q)
+    k = np.zeros((r, r, crr, c), np.float32)
+    for p in range(r):
+        for q in range(r):
+            for cc in range(c):
+                k[r - 1 - p, r - 1 - q, cc * r * r + p * r + q, cc] = 1.0
+    return lax.conv_transpose(
+        x, jnp.asarray(k, x.dtype), (r, r), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def refine_to_multiple(x: jnp.ndarray, val: int) -> jnp.ndarray:
     """Crop trailing rows/cols so H, W are multiples of `val`
     (data_loader/utils.py:235-245 refine_image_pt). Works on (..., H, W, C)."""
