@@ -216,6 +216,57 @@ def _affine_corner_weights(hp, wp, p_row, p_col):
             w00, w01, w10, w11)
 
 
+def affine_bilinear_gather_banded_rows(xp, p_row, p_col, stride, halo,
+                                       num_chunks=8):
+    """Grid-row-chunked affine gather: one band of the canvas per chunk.
+
+    Tap displacements are CELL-LOCAL (|rot| <= sqrt(2)*(ks/2+0.5)*3 + the
+    sub-block span — the same bound the spatial-sharding path relies on,
+    AlignedConv2d.__call__ min_halo), so a chunk of grid rows only reads a
+    (G*stride + 2*halo)-row band. The band's QUAD corner canvas fits the
+    budget where the global canvas cannot (r5: the global gather ran the
+    PAIR path at 471 ms — 2 gathered rows/tap; per-band quad halves that).
+
+    Clamp semantics are preserved exactly: band-relative corner clamping
+    equals global clamping because chunk 0's band starts at row 0, the last
+    band ends at hp-1, and middle-chunk taps cannot reach either global
+    edge (the halo bound keeps them >= band start and < band end).
+
+    xp: (N, Hp, Wp, C); p_row/p_col: (N, gh, gw, ntaps) canvas coords."""
+    n, hp, wp, c = xp.shape
+    gh, gw, ntaps = p_row.shape[1:]
+    g = -(-gh // num_chunks)
+    band_h = g * stride + 2 * halo + 2
+    if band_h >= hp or num_chunks <= 1:
+        return affine_bilinear_gather(xp, p_row, p_col)
+    ghp = num_chunks * g
+
+    starts = np.clip(np.arange(num_chunks) * g * stride - halo, 0,
+                     hp - band_h).astype(np.int32)
+    starts = jnp.asarray(starts)
+
+    def prep(a):
+        if ghp != gh:
+            a = jnp.pad(a, [(0, 0), (0, ghp - gh), (0, 0), (0, 0)])
+        return a.reshape(n, num_chunks, g, gw, ntaps).transpose(1, 0, 2, 3,
+                                                                4)
+
+    pr = prep(p_row)
+    pc = prep(p_col)
+
+    def step(_, xs):
+        start, prc, pcc = xs
+        band = jax.lax.dynamic_slice_in_dim(xp, start, band_h, axis=1)
+        rel = prc - start.astype(prc.dtype)
+        o = affine_bilinear_gather(band, rel, pcc)
+        return None, o.reshape(n * g * gw * ntaps * c)
+
+    _, outs = jax.lax.scan(step, None, (starts, pr, pc))
+    outs = outs.reshape(num_chunks, n, g, gw, ntaps, c)
+    outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(n, ghp, gw, ntaps, c)
+    return outs[:, :gh]
+
+
 def affine_bilinear_gather(xp, p_row, p_col):
     """Per-tap quad/pair-canvas affine sampler (the general-layout baseline
     and the banded path's fallback; see _affine_corner_weights for the
@@ -457,6 +508,13 @@ class AlignedConv2d(nn.Module):
         c = x.shape[-1]
         xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)],
                      mode="reflect")
+        # NOTE r5: a grid-row-banded variant with per-band QUAD canvases
+        # (affine_bilinear_gather_banded_rows) was built on the theory that
+        # halving gathered rows beats the global pair path — measured on
+        # chip it REGRESSED compute_aligned 852 -> 1238 ms (the per-chunk
+        # canvas rebuilds + scan overhead swamp the row saving, the same
+        # failure mode as r3's banded-affine). Kept parity-tested but NOT
+        # dispatched; the knob is closed twice over.
         o = affine_bilinear_gather(xp, p_row, p_col)
         # (N, h, w, ks, ks, C) -> (N, h*ks, w*ks, C)  (alignment.py:172-178)
         o = o.reshape(n, h, w, ks, ks, c).transpose(0, 1, 3, 2, 4, 5)

@@ -133,3 +133,30 @@ def test_affine_coords_stay_f32_under_bf16(rng):
     # pre-fix this diverged by O(feature std) at rows > 1024
     err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-6)
     assert err < 0.15, f"bf16 affine output diverged (rel err {err:.3f})"
+
+
+def test_affine_gather_banded_rows_parity(rng):
+    """Grid-row-banded gather (per-band quad canvas, the r5 production path
+    for large grids) == the plain global gather, including taps that clamp
+    at the global top/bottom edges and worst-case affine displacements."""
+    from refvsr_tpu.models.matching import (
+        affine_bilinear_gather, affine_bilinear_gather_banded_rows)
+    n, hp, wp, c = 1, 130, 40, 5
+    stride, ks = 8, 8
+    gh, gw, ntaps = 16, 5, ks * ks
+    xp = jnp.asarray(rng.standard_normal((n, hp, wp, c)), jnp.float32)
+    # worst-case displacements: the min_halo bound from AlignedConv2d
+    halo = int(np.ceil(1.4143 * (ks / 2 + 0.5) * 3.0)) + stride
+    base_r = 1.0 + stride * np.arange(gh)[None, :, None, None]
+    base_c = 1.0 + stride * np.arange(gw)[None, None, :, None]
+    disp = 1.4142 * (ks / 2 + 0.5) * 3.0  # max |rot|
+    pr = jnp.asarray(base_r + rng.uniform(-disp, disp, (n, gh, gw, ntaps)),
+                     jnp.float32)
+    pc = jnp.asarray(base_c + rng.uniform(-disp, disp, (n, gh, gw, ntaps)),
+                     jnp.float32)
+    want = affine_bilinear_gather(xp, pr, pc)
+    for nch in (2, 3, 8):  # incl. non-dividing chunk counts
+        got = affine_bilinear_gather_banded_rows(xp, pr, pc, stride, halo,
+                                                 num_chunks=nch)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, err_msg=f"chunks={nch}")
