@@ -359,7 +359,9 @@ def main():
             if best is None:
                 best = {"metric": "train_only", "value": 0.0, "unit": "fps",
                         "vs_baseline": 0.0}
-            best["train_steps_per_s"] = tr["train_steps_per_s"]
+            for k in ("train_steps_per_s", "train_patch", "train_windows"):
+                if k in tr:
+                    best[k] = tr[k]
             emit(best)
         else:
             print("# train bench failed (see .bench_fail_train.log)",
