@@ -222,7 +222,9 @@ def main():
         # compile count for the same per-step rate)
         for patch, windows in ((64, 1), (48, 1), (32, 1)):
             try:
-                sps = bench_train(patch=patch, windows=windows, iters=2)
+                # iters=4: at iters=2 the tunneled dispatch latency dominated
+                # (r5 measured 1.94 vs 0.73 steps/s run-to-run)
+                sps = bench_train(patch=patch, windows=windows, iters=4)
                 print(json.dumps({"train_steps_per_s": round(sps, 4),
                                   "train_patch": patch,
                                   "train_windows": windows}))
